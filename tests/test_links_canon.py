@@ -1,0 +1,120 @@
+"""Link extraction + URL canonicalization kernel tests.
+
+The link extractor clones the reference's fallback LinkParser
+(warclinks.py:110-199): tag/attr table, <base href> override,
+<meta content=";url="> extraction, relative-URL resolution with the
+'../'/'./' squash loop, and the per-link '\\n\\r\\t' strip
+(warclinks.py:66).
+"""
+
+import hashlib
+
+from warctools_spark.kernels.canon import canonicalize_url, url_host, url_sha1
+from warctools_spark.kernels.links import extract_links
+
+
+BASE = "http://example.org/dir/page.html"
+
+
+def test_tag_table_coverage():
+    html = b"""
+    <html><body>
+    <a href="a.html">a</a>
+    <img src="i.png" lowsrc="i-low.png">
+    <form action="/submit"></form>
+    <frame src="f.html"></frame>
+    <iframe src="if.html"></iframe>
+    <script src="s.js"></script>
+    <link href="style.css">
+    <object data="o.swf"></object>
+    <table background="bg.gif"><td background="td.gif"></td></table>
+    <input src="btn.png">
+    <embed href="e1" src="e2">
+    <area href="map.html">
+    <body background="body.gif">
+    </body></html>
+    """
+    links = extract_links(BASE, html)
+    assert "http://example.org/dir/a.html" in links
+    assert "http://example.org/dir/i.png" in links
+    assert "http://example.org/dir/i-low.png" in links
+    assert "http://example.org/submit" in links
+    assert "http://example.org/dir/f.html" in links
+    assert "http://example.org/dir/if.html" in links
+    assert "http://example.org/dir/s.js" in links
+    assert "http://example.org/dir/style.css" in links
+    assert "http://example.org/dir/o.swf" in links
+    assert "http://example.org/dir/bg.gif" in links
+    assert "http://example.org/dir/td.gif" in links
+    assert "http://example.org/dir/btn.png" in links
+    assert "http://example.org/dir/e1" in links
+    assert "http://example.org/dir/e2" in links
+    assert "http://example.org/dir/map.html" in links
+    assert "http://example.org/dir/body.gif" in links
+
+
+def test_absolute_links_pass_through():
+    links = extract_links(BASE, b'<a href="https://other.example/x">x</a>')
+    assert links == ["https://other.example/x"]
+
+
+def test_relative_resolution_dotdot():
+    # warclinks.py:177-191 — leading ../ pops a dir, ./ stripped
+    links = extract_links(BASE, b'<a href="../up.html">u</a><a href="./same.html">s</a>')
+    assert links == ["http://example.org/up.html", "http://example.org/dir/same.html"]
+
+
+def test_root_relative():
+    links = extract_links(BASE, b'<a href="/rooted.html?q=1#frag">r</a>')
+    # fragment dropped by the (None,) fragment slot (warclinks.py:178)
+    assert links == ["http://example.org/rooted.html?q=1"]
+
+
+def test_base_href_override():
+    html = b'<base href="http://cdn.example/assets/"><img src="logo.png">'
+    links = extract_links(BASE, html)
+    assert links == ["http://cdn.example/assets/logo.png"]
+
+
+def test_meta_url_extraction():
+    html = b'<meta http-equiv="refresh" content="0;url=http://next.example/page">'
+    links = extract_links(BASE, html)
+    assert links == ["http://next.example/page"]
+
+
+def test_control_chars_stripped():
+    html = b'<a href="http://example.org/a\nb\tc\rd">x</a>'
+    links = extract_links(BASE, html)
+    assert links == ["http://example.org/abcd"]
+
+
+def test_broken_html_returns_what_it_can():
+    assert extract_links(BASE, b"<a href=") == []
+    assert extract_links(BASE, b"") == []
+
+
+def test_canonicalize():
+    assert canonicalize_url("HTTP://Example.ORG:80/a/b") == "http://example.org/a/b"
+    assert canonicalize_url("https://example.org:443/") == "https://example.org/"
+    assert canonicalize_url("http://example.org:8080/x") == "http://example.org:8080/x"
+    assert canonicalize_url("http://example.org/a/../b") == "http://example.org/b"
+    assert canonicalize_url("http://example.org/a/./b") == "http://example.org/a/b"
+    assert canonicalize_url("http://example.org/a#frag") == "http://example.org/a"
+    assert canonicalize_url("http://example.org") == "http://example.org/"
+    assert (
+        canonicalize_url("http://example.org/p?q=1#f") == "http://example.org/p?q=1"
+    )
+    # trailing slash preserved
+    assert canonicalize_url("http://example.org/d/") == "http://example.org/d/"
+
+
+def test_url_sha1_stable():
+    c = canonicalize_url("HTTP://Example.org:80/x")
+    assert url_sha1("http://example.org/x") == hashlib.sha1(c.encode()).hexdigest()
+    # equivalent spellings collapse to one seen key
+    assert url_sha1("HTTP://EXAMPLE.ORG:80/a/../x") == url_sha1("http://example.org/x")
+
+
+def test_url_host():
+    assert url_host("http://WWW.Example.Org:8080/p") == "www.example.org"
+    assert url_host("not a url") == ""

@@ -1,0 +1,78 @@
+"""URL canonicalization + SHA1 kernel for the URL-seen set.
+
+Canonicalization is north_rule-mandated (not in the reference); its
+definition follows SURVEY.md §2.10: lowercase scheme+host, strip the
+scheme default port (http:80 / https:443 — port handling mirrors the
+url parse in /root/reference/hanzo/httptools/messaging.py:507-531),
+squash '../'/'./' path segments exactly like the reference link
+absolutizer (/root/reference/hanzo/warclinks.py:177-191), strip the
+fragment, default empty path to '/'.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import posixpath
+from urllib.parse import urlparse, urlunparse
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def squash_path(path: str) -> str:
+    """Resolve '../' and './' with the reference's loop semantics
+    (warclinks.py:177-191): only leading occurrences are squashed
+    repeatedly; interior ones are normalized with posixpath."""
+    # leading-squash like the reference
+    d = ""
+    while True:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        else:
+            break
+    # interior normalization (a/b/../c -> a/c) for a canonical seen key
+    if path:
+        norm = posixpath.normpath(path)
+        if path.endswith("/") and not norm.endswith("/"):
+            norm += "/"
+        if norm == ".":
+            norm = "/"
+        path = norm
+    return path or "/"
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical form used as the seen-set key."""
+    try:
+        p = urlparse(url.strip())
+    except ValueError:
+        return url.strip()
+    scheme = p.scheme.lower()
+    host = (p.hostname or "").lower()
+    port = None
+    try:
+        port = p.port
+    except ValueError:
+        port = None
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = "%s:%d" % (host, port)
+    path = squash_path(p.path)
+    if not path.startswith("/"):
+        path = "/" + path
+    # fragment stripped; params/query kept
+    return urlunparse((scheme, netloc, path, p.params, p.query, ""))
+
+
+def url_sha1(url: str) -> str:
+    """Hex SHA1 of the canonical URL — the exact seen-set key."""
+    return hashlib.sha1(canonicalize_url(url).encode("utf-8")).hexdigest()
+
+
+def url_host(url: str) -> str:
+    """Lowercased host for politeness partitioning."""
+    try:
+        return (urlparse(url).hostname or "").lower()
+    except ValueError:
+        return ""
