@@ -16,3 +16,20 @@ def reference_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from warctools_spark.session import get_spark
+
+    s = get_spark(app="warctools_spark_tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()

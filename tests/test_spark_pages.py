@@ -1,0 +1,139 @@
+"""Spark-layer integration: pages synthesis, byte-parity text
+extraction (the BASELINE.json invariant), link harvest, frontier dedup
+and politeness scheduling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, reference_available
+from warctools_spark.functions.udfs import udf_decode_http, udf_extract_text
+from warctools_spark.operators import frontier as FR
+from warctools_spark.operators import seen as SEEN
+from warctools_spark.sources.pages import HOT_HOST, synthesize_pages
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synthesize_pages(spark, SF_DIR).cache()
+    df.count()
+    return df
+
+
+def test_pages_schema_and_rows(pages, spark):
+    assert [f.name for f in pages.schema.fields] == [
+        "url",
+        "warc_ts",
+        "html",
+        "text",
+        "lang",
+    ]
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert pages.count() == n_docs
+    # one deliberately hot host
+    hot = pages.where(F.col("url").contains(HOT_HOST)).count()
+    assert 0.25 < hot / n_docs < 0.35
+
+
+def test_extract_text_byte_parity(pages):
+    """The BASELINE invariant: engine-extracted text == oracle text
+    column, for every payload variant (plain/gzip/chunked/chunked+gzip)."""
+    mismatches = (
+        pages.withColumn("extracted", udf_extract_text(F.col("html")))
+        .where(
+            F.col("extracted").isNull() | (F.col("extracted") != F.col("text"))
+        )
+        .count()
+    )
+    assert mismatches == 0
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not importable")
+def test_extract_text_parity_vs_reference(pages):
+    """Differential: our decode == the reference warctools decode,
+    byte for byte, on a sample covering all four wire variants."""
+    import zlib
+
+    from hanzo.httptools.messaging import RequestMessage, ResponseMessage
+
+    rows = pages.limit(40).collect()
+    assert len(rows) == 40
+    for r in rows:
+        m = ResponseMessage(RequestMessage())
+        m.feed(bytes(r["html"]))
+        m.close()
+        assert m.complete()
+        body = m.get_body()
+        # same inflate attempt as write_decoded_message (messaging.py:238-247)
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, 16 + zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+        assert body.decode("utf-8") == r["text"], r["url"]
+
+
+def test_decode_http_struct(pages):
+    decoded = pages.select(udf_decode_http(F.col("html")).alias("h"))
+    agg = decoded.agg(
+        F.sum(F.when(F.col("h.code") == 200, 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("h.complete"), 1).otherwise(0)).alias("complete"),
+        F.count_distinct(F.col("h.mime")).alias("mimes"),
+    ).collect()[0]
+    assert agg["ok"] == agg["complete"] == pages.count()
+    assert agg["mimes"] == 1  # text/html
+
+
+def test_harvest_links(pages):
+    links = FR.harvest_links(pages)
+    n = links.count()
+    assert n == pages.count() * 8  # N_LINKS outlinks per page
+    # links resolve to in-universe urls
+    bad = links.where(~F.col("link").rlike(r"^http://[a-z0-9.]+/doc/\d+\.html$")).count()
+    assert bad == 0
+
+
+def test_frontier_dedup_and_schedule(pages, spark):
+    links = FR.canonicalized(FR.harvest_links(pages)).withColumn("depth", F.lit(1))
+    uniq = FR.dedup_within_epoch(links)
+    assert uniq.count() == uniq.select("url_sha1").distinct().count()
+
+    # seed a seen set with half the universe
+    seen = uniq.where(F.col("url_sha1").substr(1, 1) < "8").select("url_sha1")
+    fresh = FR.dedup_against_seen(uniq, seen)
+    assert fresh.count() == uniq.count() - seen.count()
+    # no seen key survives
+    assert fresh.join(seen, "url_sha1", "inner").count() == 0
+
+    # politeness: plain window == salted window (exactness of the
+    # two-phase skew path)
+    k = 5
+    plain = FR.politeness_schedule(uniq, k)
+    hot = FR.detect_hot_hosts(uniq, threshold=20)
+    salted = FR.politeness_schedule(uniq, k, hot_hosts=hot, salt=4)
+    a = sorted(tuple(r) for r in plain.select("url_sha1").collect())
+    b = sorted(tuple(r) for r in salted.select("url_sha1").collect())
+    assert a == b
+    per_host = plain.groupBy("host").count().agg(F.max("count")).collect()[0][0]
+    assert per_host <= k
+
+
+def test_bloom_two_tier_exactness(pages, spark):
+    links = FR.canonicalized(FR.harvest_links(pages)).withColumn("depth", F.lit(1))
+    uniq = FR.dedup_within_epoch(links).cache()
+    seen = uniq.where(F.col("url_sha1").substr(1, 1) >= "c").select("url_sha1").cache()
+
+    exact = FR.dedup_against_seen(uniq, seen)
+    two_tier = SEEN.two_tier_dedup(spark, uniq, seen, n_buckets=8, fpr=0.05)
+    a = sorted(r["url_sha1"] for r in exact.select("url_sha1").collect())
+    b = sorted(r["url_sha1"] for r in two_tier.select("url_sha1").collect())
+    assert a == b  # zero false dedups, zero leaks
+
+
+def test_bloom_determinism(pages, spark):
+    links = FR.canonicalized(FR.harvest_links(pages.limit(50)))
+    keys = links.select("url_sha1").distinct()
+    b1 = {r["bucket"]: r["bits"] for r in SEEN.build_bloom(keys, n_buckets=4, m_bits=1 << 16, k_hashes=5).collect()}
+    b2 = {r["bucket"]: r["bits"] for r in SEEN.build_bloom(keys, n_buckets=4, m_bits=1 << 16, k_hashes=5).collect()}
+    assert b1 == b2  # byte-stable across runs (resume parity)

@@ -1,0 +1,168 @@
+"""Vectorized pandas UDFs wrapping the pure kernels.
+
+Every UDF is Arrow-batched (`pandas_udf`) — no per-row Python UDFs
+anywhere in the engine (BASELINE.json input_hint). The kernels
+themselves are per-value Python, but they run over whole Arrow batches
+inside one Python worker call, which is the Spark-idiomatic shape for
+byte-level logic that Catalyst expressions cannot express (HTTP state
+machines, HTML parsing).
+
+Everything built-in-expressible stays JVM-side in exprs.py instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from warctools_spark.kernels.canon import canonicalize_url, url_host, url_sha1
+from warctools_spark.kernels.http_decode import decode_http
+from warctools_spark.kernels.links import extract_links
+from warctools_spark.kernels.warc_write import warc_uuid, write_warc_record
+
+# Struct produced by the HTTP decoder — mirrors the
+# (code, mime, message) triage triple of warcfilter.py:28-46 plus the
+# decoded body/message needed by warc2warc -D and text extraction.
+HTTP_STRUCT = T.StructType(
+    [
+        T.StructField("code", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("complete", T.BooleanType()),
+        T.StructField("body", T.BinaryType()),
+        T.StructField("decoded_body", T.BinaryType()),
+        T.StructField("decoded_message", T.BinaryType()),
+        T.StructField("errors", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@pandas_udf(HTTP_STRUCT)
+def udf_decode_http(html: pd.Series) -> pd.DataFrame:
+    """HTTP response decode (messaging.py feed-whole+close semantics)."""
+    out = {k: [] for k in ("code", "mime", "complete", "body", "decoded_body", "decoded_message", "errors")}
+    for payload in html:
+        if payload is None:
+            res = None
+        else:
+            res = decode_http(bytes(payload), kind="response")
+        if res is None:
+            out["code"].append(None)
+            out["mime"].append(None)
+            out["complete"].append(None)
+            out["body"].append(None)
+            out["decoded_body"].append(None)
+            out["decoded_message"].append(None)
+            out["errors"].append(None)
+        else:
+            mime = res.mime
+            out["code"].append(res.code)
+            out["mime"].append(mime.decode("latin-1") if mime is not None else None)
+            out["complete"].append(res.complete)
+            out["body"].append(res.body)
+            out["decoded_body"].append(res.decoded_body())
+            out["decoded_message"].append(res.get_decoded_message())
+            out["errors"].append(res.errors)
+    return pd.DataFrame(out)
+
+
+@pandas_udf(T.StringType())
+def udf_extract_text(html: pd.Series) -> pd.Series:
+    """Byte-parity text extraction: decoded HTTP body as UTF-8 text
+    (= message.get_body() after the decoded-message inflate attempt,
+    messaging.py:253-263 + 238-247)."""
+    vals = []
+    for payload in html:
+        if payload is None:
+            vals.append(None)
+            continue
+        res = decode_http(bytes(payload), kind="response")
+        body = res.decoded_body()
+        try:
+            vals.append(body.decode("utf-8"))
+        except UnicodeDecodeError:
+            vals.append(body.decode("latin-1"))
+    return pd.Series(vals, dtype="object")
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def udf_extract_links(url: pd.Series, html: pd.Series) -> pd.Series:
+    """Outlinks of 2xx text/html responses (warclinks.py:54-66 gates +
+    extract_links_from_html). Non-HTML / non-2xx rows -> empty array."""
+    out = []
+    for u, payload in zip(url, html):
+        if payload is None:
+            out.append([])
+            continue
+        res = decode_http(bytes(payload), kind="response")
+        mime = res.mime or b""
+        if 200 <= res.code < 300 and mime.find(b"html") > -1:
+            out.append(extract_links(u or "", res.decoded_body()))
+        else:
+            out.append([])
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(T.StringType())
+def udf_canonicalize_url(url: pd.Series) -> pd.Series:
+    return url.map(lambda u: canonicalize_url(u) if u is not None else None)
+
+
+@pandas_udf(T.StringType())
+def udf_url_sha1(url: pd.Series) -> pd.Series:
+    return url.map(lambda u: url_sha1(u) if u is not None else None)
+
+
+@pandas_udf(T.StringType())
+def udf_url_host(url: pd.Series) -> pd.Series:
+    return url.map(lambda u: url_host(u) if u is not None else None)
+
+
+@pandas_udf(T.StringType())
+def udf_warc_uuid(text: pd.Series) -> pd.Series:
+    """Deterministic WARC record id (warc.py:146-148)."""
+    return text.map(
+        lambda t: warc_uuid(t.encode("utf-8")).decode("ascii") if t is not None else None
+    )
+
+
+@pandas_udf(T.BinaryType())
+def udf_write_warc(
+    record_id: pd.Series,
+    record_type: pd.Series,
+    url: pd.Series,
+    date_str: pd.Series,
+    content_type: pd.Series,
+    content: pd.Series,
+    gzip_flag: pd.Series,
+) -> pd.Series:
+    """Serialize rows to WARC record bytes (warc.py:76-127), optionally
+    one gzip member per record (record.py:167-185)."""
+    out = []
+    for rid, rtype, u, d, ct, body, gz in zip(
+        record_id, record_type, url, date_str, content_type, content, gzip_flag
+    ):
+        headers = []
+        if rtype is not None:
+            headers.append((b"WARC-Type", rtype.encode("latin-1")))
+        if rid is not None:
+            headers.append((b"WARC-Record-ID", rid.encode("latin-1")))
+        if d is not None:
+            headers.append((b"WARC-Date", d.encode("latin-1")))
+        if u is not None:
+            headers.append((b"WARC-Target-URI", u.encode("latin-1")))
+        out.append(
+            write_warc_record(
+                headers,
+                ct.encode("latin-1") if ct is not None else None,
+                bytes(body) if body is not None else b"",
+                gzip_record=bool(gz),
+            )
+        )
+    return pd.Series(out, dtype="object")
+
+
+def with_http_decode(df, html_col: str = "html", out_col: str = "http"):
+    """Attach the decoded-HTTP struct column."""
+    return df.withColumn(out_col, udf_decode_http(F.col(html_col)))

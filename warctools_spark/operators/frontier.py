@@ -1,0 +1,145 @@
+"""Crawl-frontier operators: link harvest, URL-seen dedup, politeness
+scheduling, breadth-first priority.
+
+The reference's closest analog is the warclinks generator pipeline
+(warclinks.py:54-66): response gate -> http decode -> 2xx+html gate ->
+link extraction. Everything frontier-ward of that (canonical seen-set,
+per-host politeness, BFS priority) is north_rule-mandated new
+capability, expressed with built-in Catalyst operators:
+
+* link harvest: pandas-UDF extraction + explode (generator -> rows)
+* dedup: left_anti join on url_sha1 (+ optional Bloom pre-filter,
+  operators/seen.py, for the 10^10-row regime)
+* politeness: ranking window partitioned by host — with explicit
+  two-phase salting for hot hosts, because a single skewed host would
+  otherwise serialize onto one task at 100 TB
+* ordering: depth ASC, discovery order — data-derived, never
+  partition-iteration order, so results are deterministic under any
+  parallelism
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from warctools_spark.functions.udfs import (
+    udf_canonicalize_url,
+    udf_extract_links,
+    udf_url_host,
+    udf_url_sha1,
+)
+
+
+def harvest_links(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """pages -> one row per (src_url, link) for 2xx text/html pages
+    (warclinks.py:54-66 gates inside the UDF)."""
+    return (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(udf_extract_links(F.col(url_col), F.col(html_col))).alias("link"),
+        )
+    )
+
+
+def canonicalized(links: DataFrame, link_col: str = "link") -> DataFrame:
+    """Attach canonical URL, seen-key sha1 and politeness host."""
+    return (
+        links.withColumn("canon_url", udf_canonicalize_url(F.col(link_col)))
+        .withColumn("url_sha1", udf_url_sha1(F.col(link_col)))
+        .withColumn("host", udf_url_host(F.col(link_col)))
+    )
+
+
+def dedup_against_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """frontier \\ seen via left_anti on the canonical sha1.
+
+    At scale both sides are bucketed by host_hash (plans/catalog.py) so
+    this is a co-partitioned join; with the Bloom pre-filter
+    (operators/seen.py) only probable-new keys reach the exact join.
+    """
+    return candidates.join(
+        seen.select("url_sha1").distinct(), on="url_sha1", how="left_anti"
+    )
+
+
+def dedup_within_epoch(candidates: DataFrame) -> DataFrame:
+    """Collapse duplicate discoveries of the same URL inside one epoch,
+    keeping the lowest (depth, discovery) — deterministic via min over
+    a sortable struct, no row_number shuffle-and-sort needed."""
+    return candidates.groupBy("url_sha1").agg(
+        F.min(F.struct("depth", "src_url", "canon_url", "host", "link")).alias("m")
+    ).select(
+        "url_sha1",
+        F.col("m.depth").alias("depth"),
+        F.col("m.src_url").alias("src_url"),
+        F.col("m.canon_url").alias("canon_url"),
+        F.col("m.host").alias("host"),
+        F.col("m.link").alias("link"),
+    )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    k_per_host: int,
+    hot_hosts: DataFrame | None = None,
+    salt: int = 16,
+    order_cols: tuple = ("depth", "canon_url"),
+) -> DataFrame:
+    """Pick at most k URLs per host, best (depth, tiebreak) first.
+
+    Plain path: one ranking window partitioned by host.
+
+    Skew path: hosts in `hot_hosts` (a small driver-side DataFrame of
+    (host)) are salted into `salt` sub-partitions; phase 1 takes the
+    top-k per (host, salt) — an upper bound of the true top-k — then
+    phase 2 re-windows the <= salt*k survivors per host. Exactness is
+    preserved because every true top-k row is within its salt's top-k.
+    """
+    order = [F.col(c).asc() for c in order_cols]
+
+    if hot_hosts is None:
+        w = Window.partitionBy("host").orderBy(*order)
+        return (
+            frontier.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k_per_host)
+            .drop("rn")
+        )
+
+    hot = hot_hosts.select("host").withColumn("is_hot", F.lit(True))
+    tagged = frontier.join(F.broadcast(hot), on="host", how="left").withColumn(
+        "salt",
+        F.when(
+            F.col("is_hot").isNotNull(), F.pmod(F.xxhash64("url_sha1"), F.lit(salt))
+        ).otherwise(F.lit(0)),
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
+    survivors = (
+        tagged.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k_per_host)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k_per_host)
+        .drop("rn", "salt", "is_hot")
+    )
+
+
+def detect_hot_hosts(frontier: DataFrame, threshold: int) -> DataFrame:
+    """Per-epoch host histogram; hosts above `threshold` candidate rows
+    get salted windows (SURVEY.md §4.2)."""
+    return (
+        frontier.groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > threshold)
+        .select("host")
+    )
+
+
+def bfs_order(frontier: DataFrame) -> DataFrame:
+    """Breadth-first global priority: depth ascending with a
+    data-derived deterministic tiebreak (SURVEY.md §2.8 — never rely on
+    partition iteration order)."""
+    return frontier.orderBy("depth", "host", "canon_url")

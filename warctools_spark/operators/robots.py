@@ -1,0 +1,92 @@
+"""Robots/politeness operators.
+
+The robots dimension is tiny relative to the frontier (one row per
+host), so it is always the broadcast side of the join (SURVEY.md §2.6).
+Rule matching after the join is pure JVM expression work (exists() over
+the prefix arrays) — no Python in the per-URL hot path; only the
+robots.txt *parse* (once per host) runs in a pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from warctools_spark.kernels.robots import parse_robots
+
+ROBOTS_STRUCT = T.StructType(
+    [
+        T.StructField("crawl_delay_ms", T.IntegerType()),
+        T.StructField("disallow", T.ArrayType(T.StringType())),
+        T.StructField("allow", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@pandas_udf(ROBOTS_STRUCT)
+def udf_parse_robots(robots_txt: pd.Series) -> pd.DataFrame:
+    rows = {"crawl_delay_ms": [], "disallow": [], "allow": []}
+    for data in robots_txt:
+        if data is None:
+            rows["crawl_delay_ms"].append(None)
+            rows["disallow"].append([])
+            rows["allow"].append([])
+            continue
+        r = parse_robots(bytes(data))
+        rows["crawl_delay_ms"].append(r.crawl_delay_ms)
+        rows["disallow"].append(r.disallow)
+        rows["allow"].append(r.allow)
+    return pd.DataFrame(rows)
+
+
+def parse_robots_table(raw: DataFrame) -> DataFrame:
+    """(host, robots_txt binary) -> (host, crawl_delay_ms, disallow, allow)."""
+    return raw.select(
+        "host",
+        udf_parse_robots(F.col("robots_txt")).alias("r"),
+    ).select(
+        "host",
+        F.col("r.crawl_delay_ms").alias("crawl_delay_ms"),
+        F.col("r.disallow").alias("disallow"),
+        F.col("r.allow").alias("allow"),
+    )
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Broadcast-join robots rules onto the frontier and keep allowed
+    URLs. Longest-prefix-match with Allow >= Disallow on ties, all in
+    JVM expressions."""
+    path = F.parse_url(F.col("canon_url"), F.lit("PATH"))
+    joined = frontier.withColumn("path", F.coalesce(path, F.lit("/"))).join(
+        F.broadcast(robots), on="host", how="left"
+    )
+    best_len = lambda arr: F.coalesce(  # noqa: E731
+        F.array_max(
+            F.transform(
+                F.filter(arr, lambda p: F.col("path").startswith(p)),
+                lambda p: F.length(p),
+            )
+        ),
+        F.lit(-1),
+    )
+    allowed = best_len(F.coalesce(F.col("allow"), F.array())) >= best_len(
+        F.coalesce(F.col("disallow"), F.array())
+    )
+    return (
+        joined.where(allowed)
+        .withColumn(
+            "crawl_delay_ms", F.coalesce(F.col("crawl_delay_ms"), F.lit(0))
+        )
+        .drop("path", "disallow", "allow")
+    )
+
+
+def budget_per_host(epoch_ms: int, crawl_delay_ms) -> F.Column:
+    """How many fetches a host allows inside one epoch window."""
+    return F.when(
+        F.col("crawl_delay_ms") > 0,
+        F.greatest(F.lit(1), (F.lit(epoch_ms) / F.col("crawl_delay_ms")).cast("int")),
+    ).otherwise(F.lit(epoch_ms))

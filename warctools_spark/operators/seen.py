@@ -1,0 +1,156 @@
+"""URL-seen set at 10^10 scale: exact anti-join + Bloom pre-filter.
+
+Two-tier design (SURVEY.md §7 phase 3, north_rule):
+
+  tier 1 (Bloom): per-bucket bitsets built distributively with
+  applyInPandas (one numpy bitset per host-hash bucket, merged
+  bucket-locally — no driver-side reduce of raw keys), broadcast to
+  executors, probed with a pandas UDF. A negative probe is definitive
+  (the URL was never seen); a positive is only probable.
+
+  tier 2 (exact): only Bloom-positive candidates reach the exact
+  left_anti join against the seen table. Zero false dedups, and at a
+  1% FPR the exact join sees ~1% of the frontier instead of 100%.
+
+Determinism: bit positions derive from the url_sha1 hex itself via
+double hashing (h1 + i*h2 mod m) — no process-seeded randomness, so
+bitsets are byte-stable across runs/partitions for resume parity.
+HASH_SCHEME_VERSION is stored alongside for checkpoint compatibility.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HASH_SCHEME_VERSION = 1
+
+
+def _positions(sha1_hex: str, k: int, m: int) -> np.ndarray:
+    h1 = int(sha1_hex[0:15], 16)
+    h2 = int(sha1_hex[15:30], 16) | 1
+    return (h1 + np.arange(k, dtype=np.int64) * h2) % m
+
+
+def optimal_params(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k_hashes) for the target false-positive rate."""
+    n_keys = max(n_keys, 1)
+    m = int(-n_keys * math.log(fpr) / (math.log(2) ** 2)) + 1
+    k = max(1, round(m / n_keys * math.log(2)))
+    return m, k
+
+
+def build_bloom(
+    seen: DataFrame,
+    n_buckets: int = 32,
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+    fpr: float = 0.01,
+    expected_per_bucket: int | None = None,
+) -> DataFrame:
+    """seen(url_sha1) -> one row per bucket:
+    (bucket int, m int, k int, version int, bits binary).
+
+    Built with applyInPandas per bucket: each task folds its bucket's
+    keys into one bitset; only n_buckets * m/8 bytes cross the wire.
+    """
+    if m_bits is None or k_hashes is None:
+        n = expected_per_bucket or max(
+            seen.count() // max(n_buckets, 1), 1
+        )
+        m_bits, k_hashes = optimal_params(n, fpr)
+    m, k = m_bits, k_hashes
+
+    keyed = seen.select(
+        F.pmod(F.xxhash64("url_sha1"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "url_sha1",
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        for h in pdf["url_sha1"]:
+            pos = _positions(h, k, m)
+            # bitwise_or.at: plain fancy-index |= drops duplicate byte
+            # indices, silently losing bits -> false negatives
+            np.bitwise_or.at(
+                bits, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8))
+            )
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else -1
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "m": [m],
+                "k": [k],
+                "version": [HASH_SCHEME_VERSION],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandas(
+        fold, "bucket int, m int, k int, version int, bits binary"
+    )
+
+
+def probe(
+    spark: SparkSession, candidates: DataFrame, bloom: DataFrame, n_buckets: int
+) -> DataFrame:
+    """candidates + boolean `maybe_seen` column.
+
+    The bucket id is computed JVM-side with the same xxhash64 expression
+    used at build time, then the pandas UDF only indexes bitsets.
+    """
+    rows = bloom.collect()
+    filters = {
+        int(r["bucket"]): (np.frombuffer(r["bits"], dtype=np.uint8), r["m"], r["k"])
+        for r in rows
+    }
+    bc = spark.sparkContext.broadcast(filters)
+
+    @F.pandas_udf("boolean")
+    def _maybe(bucket: pd.Series, sha1s: pd.Series) -> pd.Series:
+        flt = bc.value
+        out = np.zeros(len(sha1s), dtype=bool)
+        for i, (b, h) in enumerate(zip(bucket, sha1s)):
+            if h is None or b is None:
+                continue
+            entry = flt.get(int(b))
+            if entry is None:
+                continue
+            bits, m, k = entry
+            pos = _positions(h, k, m)
+            out[i] = bool(np.all((bits[pos >> 3] >> (pos & 7)) & 1))
+        return pd.Series(out)
+
+    return candidates.withColumn(
+        "maybe_seen",
+        _maybe(
+            F.pmod(F.xxhash64("url_sha1"), F.lit(n_buckets)).cast("int"),
+            F.col("url_sha1"),
+        ),
+    )
+
+
+def two_tier_dedup(
+    spark: SparkSession,
+    candidates: DataFrame,
+    seen: DataFrame,
+    n_buckets: int = 32,
+    fpr: float = 0.01,
+) -> DataFrame:
+    """Exact frontier \\ seen with the Bloom fast path.
+
+    definitely-new (bloom negative) ∪ (bloom positive ∖ seen-exact):
+    exactness is preserved because Bloom negatives cannot be in `seen`.
+    """
+    bloom = build_bloom(seen, n_buckets=n_buckets, fpr=fpr)
+    probed = probe(spark, candidates, bloom, n_buckets)
+    definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    survivors = suspects.join(
+        seen.select("url_sha1").distinct(), on="url_sha1", how="left_anti"
+    )
+    return definitely_new.unionByName(survivors)

@@ -1,0 +1,123 @@
+"""Deterministic synthetic `pages` table (BASELINE.json input_hint:
+url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
+
+Derived 1:1 from the driver's documents.parquet — no wall-clock, no
+randomness — so every run (and the DuckDB oracle) sees identical rows.
+The html column is a full HTTP/1.x response (status line + headers +
+body) wrapping an HTML document whose body text is the document text
+and whose outlinks form a deterministic graph over the other pages.
+
+The wire-format variant cycles doc_id % 4 through the reference's
+payload decode matrix (messaging.py):
+  0: plain Content-Length        1: Content-Encoding: gzip
+  2: Transfer-Encoding: chunked  3: chunked + gzip
+
+The `text` column is the byte-parity oracle: decoding `html` with the
+engine (or with the reference's ResponseMessage.get_body + inflate)
+must reproduce it byte-identically.
+
+Host layout is Zipf-ish with one deliberately hot host (~30% of urls)
+to exercise politeness-window salting at scale.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+EPOCH = datetime(2013, 11, 13, 0, 0, 0, tzinfo=timezone.utc)
+HOT_HOST = "hot.example.com"
+N_LINKS = 8
+
+
+def host_for(doc_id: int) -> str:
+    if doc_id % 10 < 3:
+        return HOT_HOST
+    return "src%d.example.com" % (doc_id % 20)
+
+
+def url_for(doc_id: int) -> str:
+    return "http://%s/doc/%d.html" % (host_for(doc_id), doc_id)
+
+
+def link_targets(doc_id: int, n_docs: int) -> list[int]:
+    return [(doc_id * 31 + i * 97 + 7) % n_docs for i in range(N_LINKS)]
+
+
+def html_doc(doc_id: int, text: str, n_docs: int) -> str:
+    links = "".join(
+        '<a href="%s">link %d</a>\n' % (url_for(t), i)
+        for i, t in enumerate(link_targets(doc_id, n_docs))
+    )
+    return (
+        "<html><head><title>Doc %d</title></head><body><p>%s</p>\n%s</body></html>"
+        % (doc_id, text, links)
+    )
+
+
+def _chunk(body: bytes, size: int = 512) -> bytes:
+    out = bytearray()
+    for i in range(0, len(body), size):
+        c = body[i : i + size]
+        out += ("%x" % len(c)).encode() + b"\r\n" + c + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def http_response(doc_id: int, doc: str) -> bytes:
+    body = doc.encode("utf-8")
+    variant = doc_id % 4
+    head = [b"HTTP/1.1 200 OK", b"Content-Type: text/html; charset=utf-8"]
+    if variant == 0:
+        head.append(b"Content-Length: " + str(len(body)).encode())
+        payload = body
+    elif variant == 1:
+        gz = _gzip.compress(body, mtime=0)
+        head.append(b"Content-Encoding: gzip")
+        head.append(b"Content-Length: " + str(len(gz)).encode())
+        payload = gz
+    elif variant == 2:
+        head.append(b"Transfer-Encoding: chunked")
+        payload = _chunk(body)
+    else:
+        gz = _gzip.compress(body, mtime=0)
+        head.append(b"Transfer-Encoding: chunked")
+        head.append(b"Content-Encoding: gzip")
+        payload = _chunk(gz)
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload
+
+
+def pages_pdf(docs: pd.DataFrame, n_docs: int) -> pd.DataFrame:
+    """documents batch -> pages batch (vectorized building block used
+    both by the Spark mapInPandas path and by pure-pandas tests)."""
+    rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    for doc_id, text, lang in zip(docs["doc_id"], docs["text"], docs["lang"]):
+        doc_id = int(doc_id)
+        doc = html_doc(doc_id, text, n_docs)
+        rows["url"].append(url_for(doc_id))
+        rows["warc_ts"].append(EPOCH + timedelta(seconds=doc_id))
+        rows["html"].append(http_response(doc_id, doc))
+        rows["text"].append(doc)
+        rows["lang"].append(lang)
+    return pd.DataFrame(rows)
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def synthesize_pages(spark, sf_dir: str, repartition: int | None = None):
+    """documents.parquet -> pages DataFrame, distributed via
+    mapInPandas (each executor synthesizes its partition; only the
+    row count crosses the driver)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    if repartition:
+        docs = docs.repartition(repartition)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pages_pdf(pdf, n_docs)
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(gen, PAGES_SCHEMA)
