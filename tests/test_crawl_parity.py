@@ -1,0 +1,114 @@
+"""Crawl ordering + URL-seen-set parity: the Spark engine vs the
+single-node reference simulator (north_rule gate), plus snapshot
+checkpoint/resume exactness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from warctools_spark.plans.catalog import Catalog
+from warctools_spark.plans.epoch import init_state, resume_state, run_crawl, run_epoch
+from warctools_spark.plans.simulator import simulate_crawl
+from warctools_spark.sources.pages import synthesize_pages, url_for
+
+EPOCHS = 3
+K = 4
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synthesize_pages(spark, SF_DIR).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def seeds(spark):
+    urls = [url_for(i) for i in range(0, 50, 7)]
+    return spark.createDataFrame([(u,) for u in urls], "url string"), urls
+
+
+def _spark_crawl(spark, pages, seed_df, use_bloom=False, hot_threshold=None):
+    queue, seen = init_state(seed_df)
+    schedules = []
+    for e in range(EPOCHS):
+        res = run_epoch(
+            spark,
+            pages,
+            queue,
+            seen,
+            epoch=e,
+            k_per_host=K,
+            use_bloom=use_bloom,
+            hot_host_threshold=hot_threshold,
+        )
+        schedules.append(
+            sorted(r["canon_url"] for r in res.schedule.select("canon_url").collect())
+        )
+        queue, seen = res.queue, res.seen
+    final_seen = sorted(r["url_sha1"] for r in seen.distinct().collect())
+    return schedules, final_seen
+
+
+def test_engine_matches_simulator(spark, pages, seeds):
+    seed_df, urls = seeds
+    page_map = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    sim_schedules, sim_seen = simulate_crawl(page_map, urls, EPOCHS, k_per_host=K)
+    eng_schedules, eng_seen = _spark_crawl(spark, pages, seed_df)
+    assert eng_schedules == sim_schedules  # identical crawl ordering
+    assert eng_seen == sorted(sim_seen)  # identical URL-seen set
+
+
+def test_engine_bloom_and_salting_same_crawl(spark, pages, seeds):
+    """The scale paths (Bloom two-tier dedup, hot-host salting) must
+    not change crawl semantics."""
+    seed_df, _ = seeds
+    plain = _spark_crawl(spark, pages, seed_df)
+    scaled = _spark_crawl(spark, pages, seed_df, use_bloom=True, hot_threshold=10)
+    assert plain == scaled
+
+
+def test_checkpoint_resume_exact(spark, pages, seeds, tmp_path):
+    seed_df, _ = seeds
+    cat = Catalog(str(tmp_path / "cat"), n_buckets=8)
+    metrics = run_crawl(
+        spark, pages, seed_df, epochs=2, k_per_host=K, catalog=cat
+    )
+    assert len(metrics) == 2
+    assert cat.latest_epoch() == 1
+    resumed = resume_state(spark, cat)
+    assert resumed is not None
+    e, queue, seen = resumed
+    assert e == 1
+    m = cat.read_manifest(1)
+    assert m["metrics"]["queue_size"] == queue.count()
+    assert m["metrics"]["seen_size"] == seen.count()
+    assert m["metrics"]["lineage"]  # per-partition lineage present
+
+    # continuing from the checkpoint == continuing in-memory
+    res_a = run_epoch(spark, pages, queue, seen, epoch=2, k_per_host=K)
+    sched_resumed = sorted(
+        r["canon_url"] for r in res_a.schedule.select("canon_url").collect()
+    )
+
+    queue2, seen2 = init_state(seed_df)
+    for e2 in range(2):
+        r = run_epoch(spark, pages, queue2, seen2, epoch=e2, k_per_host=K)
+        queue2, seen2 = r.queue, r.seen
+    res_b = run_epoch(spark, pages, queue2, seen2, epoch=2, k_per_host=K)
+    sched_mem = sorted(
+        r["canon_url"] for r in res_b.schedule.select("canon_url").collect()
+    )
+    assert sched_resumed == sched_mem
+
+
+def test_queue_drains_scheduled(spark, pages, seeds):
+    seed_df, _ = seeds
+    queue, seen = init_state(seed_df)
+    res = run_epoch(spark, pages, queue, seen, epoch=0, k_per_host=1000)
+    # every seed was scheduled, so the next queue contains only new urls
+    overlap = res.queue.join(
+        queue.select("url_sha1"), on="url_sha1", how="inner"
+    ).count()
+    assert overlap == 0
+    assert res.metrics["scheduled"] == queue.count()

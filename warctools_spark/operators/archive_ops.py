@@ -1,0 +1,174 @@
+"""DataFrame equivalents of the reference CLI operators.
+
+Each function takes the records DataFrame produced by
+sources/warc.read_warc (or any frame with the same columns) and
+returns a DataFrame — scan/filter/project/transform pipelines that
+Catalyst fuses into one whole-stage-codegen pass, the way the
+reference fuses them into one Python loop (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from warctools_spark.functions.udfs import udf_decode_http, udf_write_warc
+from warctools_spark.functions.exprs import warc_date_str
+
+
+def _null_safe_rlike(col: Column, pattern: str) -> Column:
+    """bool(value and pat.search(value)) — warcfilter.py:82-101."""
+    return F.coalesce(col.rlike(pattern), F.lit(False))
+
+
+def warc_filter(
+    records: DataFrame,
+    pattern: str,
+    mode: str = "any",
+    invert: bool = False,
+) -> DataFrame:
+    """warcfilter (warcfilter.py:78-117): regex predicate XOR invert.
+
+    mode: 'url' | 'type' | 'content_type' | 'http_content_type' |
+          'warc_date' | 'any' (any header value or the raw content)
+    """
+    if mode == "url":
+        pred = _null_safe_rlike(F.col("url"), pattern)
+    elif mode == "type":
+        pred = _null_safe_rlike(F.col("record_type"), pattern)
+    elif mode == "content_type":
+        pred = _null_safe_rlike(F.col("content_type"), pattern)
+    elif mode == "warc_date":
+        pred = _null_safe_rlike(F.col("warc_date"), pattern)
+    elif mode == "http_content_type":
+        # response records with application/http content; the predicate
+        # runs on the parsed payload mime (warcfilter.py:93-98)
+        gate = (F.col("record_type") == "response") & F.col(
+            "content_type"
+        ).startswith("application/http")
+        mime = udf_decode_http(F.col("content"))["mime"]
+        pred = gate & _null_safe_rlike(mime, pattern)
+    elif mode == "any":
+        # every header value, then the raw content (warcfilter.py:104-113)
+        header_hit = F.exists(
+            F.col("headers"), lambda h: _null_safe_rlike(h["value"], pattern)
+        )
+        # rlike is string-typed; the record content is binary — decode
+        # latin-1 (lossless byte<->codepoint) for the regex scan
+        body_hit = _null_safe_rlike(
+            F.col("content").cast("string"), pattern
+        ) | _null_safe_rlike(F.decode(F.col("content"), "ISO-8859-1"), pattern)
+        pred = header_hit | body_hit
+    else:
+        raise ValueError(f"unknown filter mode {mode!r}")
+
+    if invert:
+        pred = ~pred
+    return records.where(pred)
+
+
+def warc_index(records: DataFrame) -> DataFrame:
+    """warcindex projection (warcindex.py:35-49):
+    filename offset type url id content-type content-length, '-' for
+    missing values."""
+    dash = lambda c: F.coalesce(F.col(c), F.lit("-"))  # noqa: E731
+    return records.select(
+        F.col("source_file").alias("filename"),
+        F.col("offset"),
+        dash("record_type").alias("warc_type"),
+        dash("url").alias("warc_subject_uri"),
+        dash("record_id").alias("warc_record_id"),
+        dash("content_type").alias("content_type"),
+        F.col("content_length"),
+    )
+
+
+def warc_valid(records: DataFrame) -> DataFrame:
+    """warcvalid (warcvalid.py:32-61): per-record error rows; a file is
+    valid iff this frame is empty for it."""
+    return records.where(F.size("errors") > 0).select(
+        "source_file", "offset", "errors"
+    )
+
+
+def warc2warc_decode(records: DataFrame, gzip_output: bool = False) -> DataFrame:
+    """warc2warc -D (warc2warc.py:33-61): for response records with an
+    http payload, replace content with the decoded message (chunking
+    stripped, gzip inflated, Content-Length rewritten); leave other
+    records untouched. Adds `record_bytes` with the re-serialized WARC
+    record (± per-record gzip member)."""
+    is_http_response = (F.col("record_type") == "response") & F.col(
+        "content_type"
+    ).startswith("application/http")
+    decoded = records.withColumn(
+        "http",
+        F.when(is_http_response, udf_decode_http(F.col("content"))).otherwise(
+            F.lit(None)
+        ),
+    )
+    # only a clean decode replaces the body (warc2warc.py:50-59)
+    use_decoded = (
+        is_http_response
+        & F.col("http.complete")
+        & (F.size(F.coalesce(F.col("http.errors"), F.array())) == 0)
+    )
+    out_content = F.when(use_decoded, F.col("http.decoded_message")).otherwise(
+        F.col("content")
+    )
+    return decoded.withColumn("out_content", out_content).withColumn(
+        "record_bytes",
+        udf_write_warc(
+            F.col("record_id"),
+            F.col("record_type"),
+            F.col("url"),
+            F.col("warc_date"),
+            F.col("content_type"),
+            F.col("out_content"),
+            F.lit(gzip_output),
+        ),
+    )
+
+
+def http_triage(records: DataFrame) -> DataFrame:
+    """(code, mime, body) projection of http response payloads — the
+    triple three reference tools re-implement (warcfilter.py:28-46,
+    warclinks.py:33-51, warcunpack_ia.py:147-165)."""
+    gate = (F.col("record_type") == "response") & F.col("content_type").startswith(
+        "application/http"
+    )
+    return (
+        records.where(gate)
+        .withColumn("http", udf_decode_http(F.col("content")))
+        .select(
+            "source_file",
+            "offset",
+            "url",
+            F.col("http.code").alias("code"),
+            F.col("http.mime").alias("mime"),
+            F.col("http.body").alias("body"),
+            F.col("http.decoded_body").alias("decoded_body"),
+        )
+    )
+
+
+def records_to_pages(records: DataFrame) -> DataFrame:
+    """WARC records -> the engine's pages shape (input_hint):
+    url, warc_ts, html, text, lang — the ingest bridge from raw
+    .warc.gz to the frontier pipeline."""
+    from warctools_spark.functions.udfs import udf_extract_text
+
+    gate = (F.col("record_type") == "response") & F.col("content_type").startswith(
+        "application/http"
+    )
+    return (
+        records.where(gate)
+        .select(
+            "url",
+            F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "warc_ts"
+            ),
+            F.col("content").alias("html"),
+        )
+        .withColumn("text", udf_extract_text(F.col("html")))
+        .withColumn("lang", F.lit(None).cast("string"))
+    )

