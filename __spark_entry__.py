@@ -1,38 +1,864 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the warctools_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship crawl-frontier epoch at sf0.001.
+queries()       — one entry per implemented operator (SURVEY.md §2 +
+                  the training-data operator family).
+oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible
+                  query; binary/UDF-kernel operators ship rows-only.
+
+The synthetic pages corpus (sources/pages.py) is a pure function of
+documents.parquet, so the DuckDB oracle can model it numerically:
+`extract_text` literally reconstructs the expected HTML document in
+SQL and compares it against the engine's full UDF pipeline
+(HTTP wire decode -> inflate -> charset decode), which makes the
+byte-parity invariant a driver-checked property.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+N_LINKS = 8
+SEEN_MOD = 5  # doc_id % 5 == 0 pages are pre-seen in frontier queries
+TOPK = 3
+HOT_N = 50
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pages(spark, sf_dir):
+    from warctools_spark.sources.pages import synthesize_pages
+
+    return synthesize_pages(spark, sf_dir)
+
+
+# --------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """One politeness-scheduled frontier epoch on sf0.001: pages ->
+    decode -> harvest -> canonicalize -> dedup vs seen -> top-k per
+    host schedule."""
+    sf_dir = "/root/testdata/sf0.001"
+    from warctools_spark.plans.epoch import init_state, run_epoch
+    from warctools_spark.sources.pages import url_for
+
+    pages = _pages(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    seeds = spark.createDataFrame(
+        [(url_for(i),) for i in range(0, n, 7)], "url string"
+    )
+    queue, seen = init_state(seeds)
+    res = run_epoch(spark, pages, queue, seen, epoch=0, k_per_host=10)
+    return res.schedule.select("canon_url", "host", "depth", "url_sha1")
+
+
+# --------------------------------------------------------------------
+# Spark-side queries
+# --------------------------------------------------------------------
+
+def _q_page_index(spark, sf_dir):
+    """warcindex-style projection of the pages table
+    (warcindex.py:35-49 -> SURVEY §2.3)."""
+    from warctools_spark.functions.udfs import udf_url_host
+
+    pages = _pages(spark, sf_dir)
+    return pages.select(
+        F.col("url"),
+        udf_url_host(F.col("url")).alias("host"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.length("text").alias("content_length"),
+        F.col("lang"),
+    )
+
+
+def _q_filter_url(spark, sf_dir):
+    """warcfilter -U url-regex predicate (warcfilter.py:81-83)."""
+    pages = _pages(spark, sf_dir)
+    return pages.where(F.col("url").rlike(r"^http://hot\.")).select("url")
+
+
+def _q_filter_url_invert(spark, sf_dir):
+    """warcfilter -U -i inverted match (warcfilter.py:82 XOR invert)."""
+    pages = _pages(spark, sf_dir)
+    return pages.where(
+        ~F.coalesce(F.col("url").rlike(r"/doc/1\d\.html$"), F.lit(False))
+    ).select("url")
+
+
+def _q_filter_body(spark, sf_dir):
+    """warcfilter default mode: body regex over the *decoded* payload
+    (warcfilter.py:104-113) — runs the real HTTP decode UDF."""
+    from warctools_spark.functions.udfs import udf_extract_text
+
+    pages = _pages(spark, sf_dir)
+    return (
+        pages.withColumn("body", udf_extract_text("html"))
+        .where(F.col("body").rlike("window"))
+        .select("url")
+    )
+
+
+def _q_extract_text(spark, sf_dir):
+    """BYTE-PARITY: full wire decode (plain/gzip/chunked/chunked+gzip)
+    vs the SQL-reconstructed document (messaging.py get_body +
+    inflate semantics)."""
+    from warctools_spark.functions.udfs import udf_extract_text
+
+    pages = _pages(spark, sf_dir)
+    return pages.select("url", udf_extract_text("html").alias("text"))
+
+
+def _q_http_decode(spark, sf_dir):
+    """HTTP triage struct: (code, mime, complete) per page
+    (warcfilter.py:28-46)."""
+    from warctools_spark.functions.udfs import udf_decode_http
+
+    pages = _pages(spark, sf_dir)
+    h = udf_decode_http("html")
+    return pages.select(
+        "url",
+        h["code"].alias("code"),
+        h["mime"].alias("mime"),
+        h["complete"].cast("int").alias("complete"),
+    )
+
+
+def _q_harvest_links(spark, sf_dir):
+    """Link harvest: HTML parse + absolutize + explode
+    (warclinks.py:54-66) — checked against the numeric link model."""
+    from warctools_spark.operators.frontier import harvest_links
+
+    pages = _pages(spark, sf_dir)
+    return harvest_links(pages).select("src_url", "link")
+
+
+def _candidates(spark, sf_dir):
+    from warctools_spark.functions.udfs import udf_url_sha1
+    from warctools_spark.operators.frontier import (
+        canonicalized,
+        dedup_against_seen,
+        dedup_within_epoch,
+        harvest_links,
+    )
+    from warctools_spark.sources.pages import url_expr
+
+    pages = _pages(spark, sf_dir)
+    links = canonicalized(harvest_links(pages)).withColumn("depth", F.lit(1))
+    cand = dedup_within_epoch(links)
+    n = _docs(spark, sf_dir).count()
+    seen_ids = spark.range(0, n, SEEN_MOD).select(
+        udf_url_sha1(url_expr(F.col("id"))).alias("url_sha1")
+    )
+    return dedup_against_seen(cand, seen_ids)
+
+
+def _q_frontier_candidates(spark, sf_dir):
+    """Within-epoch dedup + anti-join against the seen set
+    (SURVEY §2.6 frontier \\ seen)."""
+    return _candidates(spark, sf_dir).select("canon_url", "host", "src_url")
+
+
+def _q_politeness_topk(spark, sf_dir):
+    """Per-host politeness window: top-k by (depth, canon_url)
+    (SURVEY §2.8)."""
+    from warctools_spark.operators.frontier import politeness_schedule
+
+    cand = _candidates(spark, sf_dir)
+    return politeness_schedule(cand, TOPK).select("host", "canon_url")
+
+
+def _q_politeness_topk_salted(spark, sf_dir):
+    """The same window via the two-phase hot-host salting path — must
+    return the identical schedule (skew hardening, SURVEY §4.2)."""
+    from warctools_spark.operators.frontier import (
+        detect_hot_hosts,
+        politeness_schedule,
+    )
+
+    cand = _candidates(spark, sf_dir)
+    hot = detect_hot_hosts(cand, HOT_N)
+    return politeness_schedule(cand, TOPK, hot_hosts=hot, salt=8).select(
+        "host", "canon_url"
+    )
+
+
+def _q_host_agg(spark, sf_dir):
+    """Per-host frontier depth/budget aggregation (SURVEY §2.7)."""
+    cand = _candidates(spark, sf_dir)
+    return cand.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.min("canon_url").alias("first_url"),
+    )
+
+
+def _q_seen_antijoin(spark, sf_dir):
+    """Plain anti-join semantics on the documents table."""
+    docs = _docs(spark, sf_dir)
+    seen = docs.where(F.col("doc_id") % SEEN_MOD == 0).select("doc_id")
+    return docs.join(seen, "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from warctools_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact_keep_first(spark, sf_dir):
+    from warctools_spark.operators.dedup import exact_dedup_keep_first
+
+    return exact_dedup_keep_first(_docs(spark, sf_dir)).select("doc_id", "n_chars")
+
+
+def _q_minhash(spark, sf_dir):
+    from warctools_spark.operators.dedup import minhash_signature
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            ",", minhash_signature(F.col("text"), 8).cast("array<string>")
+        ).alias("minhash_sig"),
+    )
+
+
+def _q_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard for consecutive-id pairs (the LSH verify
+    stage arithmetic)."""
+    from warctools_spark.operators.dedup import shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    a = sh.alias("a")
+    b = sh.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")
+    ).alias("b")
+    return (
+        a.join(b, "doc_id")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("sh", "sh_b"))
+                / F.size(F.array_union("sh", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from warctools_spark.operators.dedup import simhash60
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", simhash60(F.col("text"), 3).alias("simhash"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from warctools_spark.operators.text_analysis import lang_id
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_token_counts(spark, sf_dir):
+    from warctools_spark.operators.text_analysis import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_units"),
+    )
+
+
+def _q_quality(spark, sf_dir):
+    from warctools_spark.operators.text_analysis import quality_score
+
+    docs = _docs(spark, sf_dir)
+    return quality_score(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_punct",
+        "n_distinct_tokens",
+        "quality_score",
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    from warctools_spark.operators.text_analysis import doc_fingerprints
+
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_embedding_topk(spark, sf_dir):
+    from warctools_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_topk(emb, [float(v) for v in qvec], k=10)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    """Exact within-label cosine>=0.3 near-duplicate pairs."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda s: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{s}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.label") == F.col("b.label"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .withColumn("cosine", F.round(dot / (norm("a") * norm("b")), 6))
+        .where(F.col("cosine") >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3ish(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Stateful sessionization via gap>30min window — the batch
+    equivalent of the streaming session operator."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch_s - F.lag(epoch_s).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select("event_id", "user_id", "session_seq")
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+
+
+# ---- rows-only (kernel/binary semantics DuckDB cannot express) ----
+
+def _q_frontier_epoch(spark, sf_dir):
+    """Full epoch incl. politeness + state update (flagship plan)."""
+    from warctools_spark.plans.epoch import init_state, run_epoch
+    from warctools_spark.sources.pages import url_for
+
+    pages = _pages(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    seeds = spark.createDataFrame(
+        [(url_for(i),) for i in range(0, n, 7)], "url string"
+    )
+    queue, seen = init_state(seeds)
+    res = run_epoch(spark, pages, queue, seen, epoch=0, k_per_host=10)
+    return res.schedule.select("canon_url", "host", "depth")
+
+
+def _q_bloom_dedup(spark, sf_dir):
+    """Two-tier Bloom+exact dedup; must equal the exact anti-join
+    (returns both counts for the record)."""
+    from warctools_spark.operators.seen import two_tier_dedup
+
+    cand = _candidates(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    from warctools_spark.functions.udfs import udf_url_sha1
+    from warctools_spark.sources.pages import url_expr
+
+    seen_ids = spark.range(0, n, 2).select(
+        udf_url_sha1(url_expr(F.col("id"))).alias("url_sha1")
+    )
+    exact = cand.join(seen_ids, "url_sha1", "left_anti")
+    two = two_tier_dedup(spark, cand, seen_ids, n_buckets=8)
+    return spark.createDataFrame(
+        [(exact.count(), two.count())], "exact_count long, two_tier_count long"
+    )
+
+
+def _q_warc_roundtrip(spark, sf_dir):
+    """pages -> WARC serialization -> reparse -> index: exercises
+    udf_write_warc + the parse kernel through Spark (warc2warc
+    semantics, warc.py:76-127)."""
+    from warctools_spark.functions.udfs import udf_decode_http, udf_write_warc
+    from warctools_spark.kernels.warc_parse import parse_archive
+
+    import pandas as pd
+
+    pages = _pages(spark, sf_dir).limit(200)
+    recs = pages.select(
+        udf_write_warc(
+            F.concat(F.lit("<urn:uuid:"), F.md5("url"), F.lit(">")),
+            F.lit("response"),
+            F.col("url"),
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit("application/http;msgtype=response"),
+            F.col("html"),
+            F.lit(False),
+        ).alias("record_bytes"),
+        "url",
+    )
+
+    def reparse(batches):
+        for pdf in batches:
+            out = []
+            for rb, url in zip(pdf["record_bytes"], pdf["url"]):
+                rows = parse_archive(bytes(rb), fmt="warc")
+                for r in rows:
+                    out.append(
+                        {
+                            "url": r.url.decode() if r.url else None,
+                            "matches": (r.url or b"").decode() == url,
+                            "content_length": r.content_length,
+                            "n_errors": len(r.errors),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["url", "matches", "content_length", "n_errors"]
+            )
+
+    return recs.mapInPandas(
+        reparse, "url string, matches boolean, content_length long, n_errors int"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "page_index": _q_page_index,
+        "filter_url": _q_filter_url,
+        "filter_url_invert": _q_filter_url_invert,
+        "filter_body": _q_filter_body,
+        "extract_text": _q_extract_text,
+        "http_decode": _q_http_decode,
+        "harvest_links": _q_harvest_links,
+        "frontier_candidates": _q_frontier_candidates,
+        "politeness_topk": _q_politeness_topk,
+        "politeness_topk_salted": _q_politeness_topk_salted,
+        "host_agg": _q_host_agg,
+        "seen_antijoin": _q_seen_antijoin,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_keep_first": _q_dedup_exact_keep_first,
+        "minhash_signature": _q_minhash,
+        "ngram_jaccard": _q_jaccard,
+        "simhash": _q_simhash,
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
+        "quality_score": _q_quality,
+        "doc_fingerprint": _q_fingerprint,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3ish": _q_tpch_q3ish,
+        "events_sessionize": _q_events_sessionize,
+        "events_hourly": _q_events_hourly,
+        # rows-only (kernel semantics not expressible in SQL)
+        "frontier_epoch": _q_frontier_epoch,
+        "bloom_dedup": _q_bloom_dedup,
+        "warc_roundtrip": _q_warc_roundtrip,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------
+
+# shared SQL fragments modeling the synthetic corpus
+_HOST = (
+    "CASE WHEN {id} % 10 < 3 THEN 'hot.example.com' "
+    "ELSE 'src' || ({id} % 20) || '.example.com' END"
+)
+_URL = "'http://' || " + _HOST + " || '/doc/' || {id} || '.html'"
+
+_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_WORDS = "string_split(" + _NORM + ", ' ')"
+
+
+def _shingles_sql(c: str, n: int = 3) -> str:
+    w = _WORDS.format(c=c)
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_distinct([array_to_string(({w})[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({w}) - {n - 2})]) "
+        f"ELSE [array_to_string({w}, ' ')] END"
+    )
+
+
+_LINKS_CTE = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT d.doc_id,
+         {_URL.format(id="d.doc_id")} AS src_url,
+         i,
+         (d.doc_id * 31 + i * 97 + 7) % nn.n AS target
+  FROM documents d CROSS JOIN nn CROSS JOIN range(0, {N_LINKS}) t(i)
+)
+"""
+
+
+def _html_doc_sql() -> str:
+    """Reconstruct sources/pages.py html_doc() in SQL."""
+    target = "((d.doc_id * 31 + i * 97 + 7) % nn.n)"
+    link_url = _URL.format(id=target)
+    return (
+        "'<html><head><title>Doc ' || d.doc_id || "
+        "'</title></head><body><p>' || d.text || '</p>' || chr(10) || "
+        f"array_to_string([('<a href=\"' || {link_url} || '\">link ' || i || "
+        f"'</a>' || chr(10)) for i in range(0, {N_LINKS})], '') || "
+        "'</body></html>'"
+    )
+
+
+_CAND_CTE = (
+    _LINKS_CTE
+    + f""",
+cand AS (
+  SELECT {_URL.format(id="target")} AS canon_url,
+         {_HOST.format(id="target")} AS host,
+         min(src_url) AS src_url
+  FROM links
+  WHERE target % {SEEN_MOD} <> 0
+  GROUP BY target
+)
+"""
+)
+
+
+def _lang_sql() -> str:
+    from warctools_spark.operators.text_analysis import LANG_STOPWORDS
+
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    hit = (
+        lambda code: "len(list_filter("
+        + toks
+        + ", t -> list_contains(["
+        + ",".join("'%s'" % w for w in LANG_STOPWORDS[code])
+        + "], t)))"
+    )
+    # replicate the fold in lang_id(): strict > over sorted codes
+    best, score = "'und'", "0"
+    for code in sorted(LANG_STOPWORDS):
+        h = hit(code)
+        best = f"CASE WHEN {h} > {score} THEN '{code}' ELSE {best} END"
+        score = f"CASE WHEN {h} > {score} THEN {h} ELSE {score} END"
+    return best
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sh = _shingles_sql("text")
+    html_doc = _html_doc_sql()
+    minhash_cols = ", ".join(
+        "list_min([CAST(('0x' || substr(md5('s%d:' || sh), 1, 8)) AS BIGINT) "
+        "for sh in shl])" % i
+        for i in range(8)
+    )
+    lang_expr = _lang_sql()
+
+    return {
+        "page_index": f"""
+            SELECT {_URL.format(id="d.doc_id")} AS url,
+                   {_HOST.format(id="d.doc_id")} AS host,
+                   strftime(TIMESTAMP '2013-11-13 00:00:00'
+                            + to_seconds(d.doc_id), '%Y-%m-%dT%H:%M:%SZ')
+                       AS warc_date,
+                   length({html_doc}) AS content_length,
+                   d.lang
+            FROM documents d CROSS JOIN (SELECT count(*) AS n FROM documents) nn
+        """,
+        "filter_url": f"""
+            SELECT {_URL.format(id="doc_id")} AS url FROM documents
+            WHERE doc_id % 10 < 3
+        """,
+        "filter_url_invert": f"""
+            SELECT {_URL.format(id="doc_id")} AS url FROM documents
+            WHERE NOT regexp_matches({_URL.format(id="doc_id")},
+                                     '/doc/1\\d\\.html$')
+        """,
+        "filter_body": f"""
+            SELECT {_URL.format(id="d.doc_id")} AS url
+            FROM documents d CROSS JOIN (SELECT count(*) AS n FROM documents) nn
+            WHERE regexp_matches({html_doc}, 'window')
+        """,
+        "extract_text": f"""
+            SELECT {_URL.format(id="d.doc_id")} AS url,
+                   {html_doc} AS text
+            FROM documents d CROSS JOIN (SELECT count(*) AS n FROM documents) nn
+        """,
+        "http_decode": f"""
+            SELECT {_URL.format(id="doc_id")} AS url,
+                   200 AS code, 'text/html' AS mime, 1 AS complete
+            FROM documents
+        """,
+        "harvest_links": _LINKS_CTE
+        + f"""
+            SELECT src_url, {_URL.format(id="target")} AS link FROM links
+        """,
+        "frontier_candidates": _CAND_CTE
+        + "SELECT canon_url, host, src_url FROM cand",
+        "politeness_topk": _CAND_CTE
+        + f"""
+            SELECT host, canon_url FROM (
+              SELECT host, canon_url,
+                     row_number() OVER (PARTITION BY host ORDER BY canon_url)
+                         AS rn
+              FROM cand
+            ) WHERE rn <= {TOPK}
+        """,
+        "politeness_topk_salted": _CAND_CTE
+        + f"""
+            SELECT host, canon_url FROM (
+              SELECT host, canon_url,
+                     row_number() OVER (PARTITION BY host ORDER BY canon_url)
+                         AS rn
+              FROM cand
+            ) WHERE rn <= {TOPK}
+        """,
+        "host_agg": _CAND_CTE
+        + """
+            SELECT host, count(*) AS n_urls, min(canon_url) AS first_url
+            FROM cand GROUP BY host
+        """,
+        "seen_antijoin": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % {SEEN_MOD} <> 0
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM.format(c="text")}) AS content_md5,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "dedup_exact_keep_first": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id IN (
+              SELECT min(doc_id) FROM documents
+              GROUP BY md5({_NORM.format(c="text")})
+            )
+        """,
+        "minhash_signature": f"""
+            SELECT doc_id,
+                   array_to_string([{minhash_cols}], ',') AS minhash_sig
+            FROM (SELECT doc_id, {sh} AS shl FROM documents)
+        """,
+        "ngram_jaccard": f"""
+            WITH s AS (SELECT doc_id, {sh} AS sh FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """,
+        "simhash": f"""
+            SELECT doc_id,
+              list_sum([CASE WHEN
+                 list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+                           for h in hs]) > 0
+                 THEN CAST(2 ** j AS BIGINT) ELSE 0 END
+               for j in range(0, 60)]) :: BIGINT AS simhash
+            FROM (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
+                      for sh in {sh}] AS hs
+              FROM documents
+            )
+        """,
+        "lang_id": f"SELECT doc_id, {lang_expr} AS lang_pred FROM documents",
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_units
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id, n_tokens, n_punct, n_distinct_tokens,
+                   round(least(n_tokens, 100) * 0.3
+                         + (n_distinct_tokens / greatest(n_tokens, 1)) * 30
+                         + (n_stop / greatest(n_tokens, 1)) * 100 * 0.2
+                         + (1 - least((n_punct / greatest(n_chars2, 1)) * 5,
+                                      1.0)) * 20, 4) AS quality_score
+            FROM (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS n_tokens,
+                len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                    AS n_distinct_tokens,
+                len(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'),
+                    t -> list_contains(['the','and','of','to','a','in','is',
+                                        'that'], t))) AS n_stop,
+                length(text) AS n_chars2
+              FROM documents
+            )
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   md5(norm) AS content_md5,
+                   CASE WHEN length(norm) >= 8 THEN
+                     list_min([md5(substr(norm, i, 8))
+                               for i in range(1, length(norm) - 6)])
+                   ELSE md5(norm) END AS min_kgram_md5
+            FROM (SELECT doc_id, {_NORM.format(c="text")} AS norm
+                  FROM documents)
+        """,
+        "embedding_topk": """
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+              WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(
+                     list_sum([v[i] * qv[i]
+                               for i in range(1, len(v) + 1)])
+                     / (sqrt(list_sum([x * x for x in qv]))
+                        * sqrt(list_sum([x * x for x in v]))), 6) AS cosine
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings) CROSS JOIN q
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_sum([a.v[i] * b.v[i]
+                               for i in range(1, len(a.v) + 1)])
+                     / (sqrt(list_sum([x * x for x in a.v]))
+                        * sqrt(list_sum([x * x for x in b.v]))), 6) AS cosine
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                  / (sqrt(list_sum([x * x for x in a.v]))
+                     * sqrt(list_sum([x * x for x in b.v]))) >= 0.3
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3ish": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "events_sessionize": """
+            SELECT event_id, user_id,
+                   sum(new_session) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM (
+              SELECT event_id, user_id, ts,
+                CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800 OR lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+              FROM events
+            )
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS hour,
+                   event_type, count(*) AS n,
+                   round(sum(value), 3) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -173,25 +173,35 @@ def ngram_jaccard(
     return out
 
 
-def simhash64(col: Column, n: int = 2) -> Column:
-    """64-bit SimHash over word n-gram shingles, built from per-bit
-    weighted majorities — all JVM expressions.
+def simhash60(col: Column, n: int = 3) -> Column:
+    """60-bit SimHash over word n-gram shingles — all JVM expressions.
 
     bit_j = 1 iff sum over shingles of (bit_j(h(s)) ? +1 : -1) > 0,
-    h(s) = first 16 hex chars of md5 (64 bits).
+    h(s) = first 15 hex chars of md5 (60 bits; md5 is used so the
+    DuckDB oracle reproduces the value exactly).
+
+    Shingle hashes are materialized once into an array; the 60 per-bit
+    majority votes then fold over bigints, not over repeated md5 calls.
     """
-    sh = shingles(col, n)
-    h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")  # noqa: E731
-    # 60 usable bits from 15 hex chars; enough for near-dup bucketing
+    hashes = F.transform(
+        shingles(col, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+    )
+    def _vote(j):
+        # NB: a default-arg lambda (acc, h, j=j) breaks pyspark's
+        # higher-order-function arity inspection; close over j instead
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bits = []
     for j in range(60):
-        votes = F.aggregate(
-            sh,
-            F.lit(0),
-            lambda acc, s, j=j: acc
-            + F.when(F.shiftright(h(s), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        votes = F.aggregate(hashes, F.lit(0), _vote(j))
+        bits.append(
+            F.when(votes > 0, F.lit(2**j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
         )
-        bits.append(F.when(votes > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
     out = bits[0]
     for b in bits[1:]:
         out = out + b

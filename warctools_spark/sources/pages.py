@@ -107,6 +107,31 @@ def pages_pdf(docs: pd.DataFrame, n_docs: int) -> pd.DataFrame:
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+# ---- the same URL model as JVM column expressions (for oracle-checked
+# queries that model the corpus numerically) ----
+
+def host_expr(doc_id):
+    """host_for() as a Catalyst expression."""
+    from pyspark.sql import functions as F
+
+    return F.when(doc_id % 10 < 3, F.lit(HOT_HOST)).otherwise(
+        F.concat(F.lit("src"), (doc_id % 20).cast("string"), F.lit(".example.com"))
+    )
+
+
+def url_expr(doc_id):
+    """url_for() as a Catalyst expression."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.lit("http://"),
+        host_expr(doc_id),
+        F.lit("/doc/"),
+        doc_id.cast("string"),
+        F.lit(".html"),
+    )
+
+
 def synthesize_pages(spark, sf_dir: str, repartition: int | None = None):
     """documents.parquet -> pages DataFrame, distributed via
     mapInPandas (each executor synthesizes its partition; only the
