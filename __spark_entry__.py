@@ -152,15 +152,14 @@ def _q_harvest_links(spark, sf_dir):
 def _candidates(spark, sf_dir):
     from warctools_spark.functions.udfs import udf_url_sha1
     from warctools_spark.operators.frontier import (
-        canonicalized,
         dedup_against_seen,
         dedup_within_epoch,
-        harvest_links,
+        harvest_canonicalized,
     )
     from warctools_spark.sources.pages import url_expr
 
     pages = _pages(spark, sf_dir)
-    links = canonicalized(harvest_links(pages)).withColumn("depth", F.lit(1))
+    links = harvest_canonicalized(pages).withColumn("depth", F.lit(1))
     cand = dedup_within_epoch(links)
     n = _docs(spark, sf_dir).count()
     seen_ids = spark.range(0, n, SEEN_MOD).select(
@@ -630,9 +629,10 @@ def _lang_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     sh = _shingles_sql("text")
     html_doc = _html_doc_sql()
+    p = 2147483647
     minhash_cols = ", ".join(
-        "list_min([CAST(('0x' || substr(md5('s%d:' || sh), 1, 8)) AS BIGINT) "
-        "for sh in shl])" % i
+        "list_min([(h * %d + %d) %% %d for h in hs])"
+        % (1000003 + 37 * i, 777767777 + 101 * i, p)
         for i in range(8)
     )
     lang_expr = _lang_sql()
@@ -721,7 +721,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": f"""
             SELECT doc_id,
                    array_to_string([{minhash_cols}], ',') AS minhash_sig
-            FROM (SELECT doc_id, {sh} AS shl FROM documents)
+            FROM (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
+                      % 2147483647 for sh in {sh}] AS hs
+              FROM documents
+            )
         """,
         "ngram_jaccard": f"""
             WITH s AS (SELECT doc_id, {sh} AS sh FROM documents)

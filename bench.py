@@ -1,0 +1,180 @@
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "urls_per_sec": ...,
+   "pages": N, "cpus": N}
+
+The headline is the frontier epoch: harvest -> canonicalize -> sha1 ->
+dedup-vs-seen -> politeness schedule over an expanded pages corpus
+(EXPAND x documents; EXPAND via $SPARK_GRAFT_EXPAND, default 20 ->
+100k pages / 800k candidate urls at sf0.1). Pages are materialized to
+parquet once (deterministic, reused across runs) so the timed section
+measures the engine, not the synthesizer.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EXPAND = int(os.environ.get("SPARK_GRAFT_EXPAND", "20"))
+PAGES_CACHE = os.environ.get(
+    "SPARK_GRAFT_PAGES_CACHE", "/tmp/warctools_spark_bench"
+)
+
+
+def materialize_pages(spark) -> str:
+    """Pages corpus + a seen-set table (half the link universe), the
+    state a mid-crawl epoch reads. Deterministic; reused across runs."""
+    sf = os.path.basename(SF_DIR.rstrip("/"))
+    path = os.path.join(PAGES_CACHE, f"pages_{sf}_x{EXPAND}.parquet")
+    seen_path = seen_table_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from warctools_spark.sources.pages import synthesize_pages
+
+        synthesize_pages(spark, SF_DIR, expand=EXPAND, repartition=CPUS).write.mode(
+            "overwrite"
+        ).parquet(path)
+    if not os.path.exists(os.path.join(seen_path, "_SUCCESS")):
+        from warctools_spark.functions.udfs import udf_url_sha1
+
+        pages = spark.read.parquet(path)
+        pages.select(udf_url_sha1(F.col("url")).alias("url_sha1")).where(
+            F.col("url_sha1").substr(1, 1) < "8"
+        ).write.mode("overwrite").parquet(seen_path)
+    return path
+
+
+def seen_table_path() -> str:
+    sf = os.path.basename(SF_DIR.rstrip("/"))
+    return os.path.join(PAGES_CACHE, f"seen_{sf}_x{EXPAND}.parquet")
+
+
+def q_frontier_epoch(spark, pages_path):
+    """Headline: one full epoch over every page (all pages 'fetched'
+    this epoch), returns #candidate urls processed."""
+    from warctools_spark.operators.frontier import (
+        dedup_against_seen,
+        dedup_within_epoch,
+        harvest_canonicalized,
+        politeness_schedule,
+    )
+
+    from warctools_spark.operators.frontier import detect_hot_hosts
+
+    pages = spark.read.parquet(pages_path)
+    seen = spark.read.parquet(seen_table_path())
+    links = harvest_canonicalized(pages).withColumn("depth", F.lit(1))
+    cand = dedup_within_epoch(links)
+    fresh = dedup_against_seen(cand, seen)
+    # always-salted two-phase window: one single-lineage job, exact
+    # top-k per host, robust to any skew without a histogram pass
+    sched = politeness_schedule(fresh, 100, salt_all=True, salt=32)
+    return sched.count()
+
+
+def q_extract_text(spark, pages_path):
+    from warctools_spark.functions.udfs import udf_extract_text
+
+    pages = spark.read.parquet(pages_path)
+    return (
+        pages.select(udf_extract_text("html").alias("t"))
+        .where(F.col("t").isNotNull())
+        .count()
+    )
+
+
+def q_minhash_bands(spark, pages_path):
+    from warctools_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=4).count()
+
+
+def q_tpch_q1(spark, pages_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            F.count("*"),
+        )
+        .count()
+    )
+
+
+def q_embedding_topk(spark, pages_path):
+    from warctools_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_topk(emb, [float(v) for v in qvec], k=10).count()
+
+
+def main():
+    from warctools_spark.session import get_spark
+
+    spark = get_spark(
+        app="warctools_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path = materialize_pages(spark)
+    n_pages = spark.read.parquet(pages_path).count()
+    n_links = None
+
+    queries = {
+        "frontier_epoch": q_frontier_epoch,
+        "extract_text": q_extract_text,
+        "minhash_lsh": q_minhash_bands,
+        "tpch_q1": q_tpch_q1,
+        "embedding_topk": q_embedding_topk,
+    }
+    timings = {}
+    results = {}
+    for name, fn in queries.items():
+        t0 = time.time()
+        results[name] = fn(spark, pages_path)
+        timings[name] = round(time.time() - t0, 3)
+
+    from warctools_spark.sources.pages import N_LINKS
+
+    n_links = n_pages * N_LINKS
+    urls_per_sec = round(n_links / timings["frontier_epoch"], 1)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "frontier_epoch+extract_text+minhash+tpch_q1+ann topk wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "pages": n_pages,
+        "candidate_urls": n_links,
+        "urls_per_sec": urls_per_sec,
+        "cpus": CPUS,
+        "results": results,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+import hashlib
+
 from warctools_spark.kernels.canon import canonicalize_url, url_host, url_sha1
+
+
+def _sha1_hex(s: str) -> str:
+    return hashlib.sha1(s.encode("utf-8")).hexdigest()
 from warctools_spark.kernels.http_decode import decode_http
 from warctools_spark.kernels.links import extract_links
 from warctools_spark.kernels.warc_write import warc_uuid, write_warc_record
@@ -101,6 +107,48 @@ def udf_extract_links(url: pd.Series, html: pd.Series) -> pd.Series:
             out.append(extract_links(u or "", res.decoded_body()))
         else:
             out.append([])
+    return pd.Series(out, dtype="object")
+
+
+LINK_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("link", T.StringType()),
+            T.StructField("canon_url", T.StringType()),
+            T.StructField("url_sha1", T.StringType()),
+            T.StructField("host", T.StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(LINK_STRUCT)
+def udf_harvest_canon(url: pd.Series, html: pd.Series) -> pd.Series:
+    """Fused harvest: http decode -> link extract -> canonicalize ->
+    sha1 -> host, one Arrow pass (vs 4 separate UDF passes — the
+    canonical scan-side shape for the frontier hot path)."""
+    out = []
+    for u, payload in zip(url, html):
+        if payload is None:
+            out.append([])
+            continue
+        res = decode_http(bytes(payload), kind="response")
+        mime = res.mime or b""
+        if not (200 <= res.code < 300 and mime.find(b"html") > -1):
+            out.append([])
+            continue
+        rows = []
+        for link in extract_links(u or "", res.decoded_body()):
+            canon = canonicalize_url(link)
+            rows.append(
+                {
+                    "link": link,
+                    "canon_url": canon,
+                    "url_sha1": _sha1_hex(canon),
+                    "host": url_host(link),
+                }
+            )
+        out.append(rows)
     return pd.Series(out, dtype="object")
 
 

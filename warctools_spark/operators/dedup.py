@@ -71,23 +71,37 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def _shingle_hash(s: Column, seed: int) -> Column:
-    """Stable 32-bit-ish shingle hash derived from md5 hex — identical
-    in DuckDB (oracle-replayable), unlike xxhash64 which DuckDB lacks."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit("s%d:" % seed), s)), 1, 8), 16, 10).cast(
-        "bigint"
+# Mersenne prime modulus for the affine hash family; coefficients are
+# fixed (deterministic across runs + engines). a*h stays < 2^51 so the
+# arithmetic is exact in int64 on both Spark and DuckDB.
+_MH_P = 2147483647  # 2^31 - 1
+_MH_A = [1000003 + 37 * i for i in range(64)]
+_MH_B = [777767777 + 101 * i for i in range(64)]
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """One md5 per shingle -> bigint (mod 2^31-1). The expensive hash
+    happens once; the MinHash family is cheap affine mixes of it."""
+    return F.transform(
+        shingles(col, n),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_MH_P),
+        ),
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 16) -> Column:
+def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
     """MinHash signature: array of num_hashes minima over the shingle
-    set, each under an independent seeded hash."""
-    sh = shingles(col)
+    set under the affine family h_i(x) = (a_i*x + b_i) mod (2^31-1).
+    Scan-side only — no shuffle; one md5 pass per shingle."""
+    hs = shingle_hashes(col, n)
+
+    def _mix(i):
+        return lambda h: (h * _MH_A[i] + _MH_B[i]) % _MH_P
+
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: _shingle_hash(s, i)))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(hs, _mix(i))) for i in range(num_hashes)]
     )
 
 
@@ -97,6 +111,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -104,8 +119,23 @@ def minhash_lsh_candidates(
     at least one band. Only the band groupBy shuffles.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col), minhash_signature(F.col(text_col), num_hashes).alias("sig")
+    # small-file inputs arrive as one partition; the signature pass is
+    # CPU-bound, so spread it before computing (cheap: raw text only)
+    p = parallelism or docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(p)
+    # two-step projection: shingle hashes materialize once (Catalyst's
+    # CollapseProject does not inline non-cheap exprs referenced many
+    # times, so the md5 pass is not duplicated 16x)
+    hs = docs.select(F.col(id_col), shingle_hashes(F.col(text_col)).alias("hs"))
+
+    def _mix(i):
+        return lambda h: (h * _MH_A[i] + _MH_B[i]) % _MH_P
+
+    sig = hs.select(
+        id_col,
+        F.array(
+            *[F.array_min(F.transform("hs", _mix(i))) for i in range(num_hashes)]
+        ).alias("sig"),
     )
     banded = sig.select(
         id_col,
@@ -127,24 +157,28 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.band_key") == F.col("b.band_key"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
+    # bucket-collect instead of self-join: a self-join would execute the
+    # signature pipeline twice; one groupBy + in-bucket pair explosion
+    # scans once and shuffles once
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pair_gen = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+    )
+    return (
+        buckets.select(F.explode(pair_gen).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard(

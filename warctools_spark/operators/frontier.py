@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from warctools_spark.functions.udfs import (
     udf_canonicalize_url,
     udf_extract_links,
+    udf_harvest_canon,
     udf_url_host,
     udf_url_sha1,
 )
@@ -39,6 +40,26 @@ def harvest_links(pages: DataFrame, url_col: str = "url", html_col: str = "html"
             F.col(url_col).alias("src_url"),
             F.explode(udf_extract_links(F.col(url_col), F.col(html_col))).alias("link"),
         )
+    )
+
+
+def harvest_canonicalized(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Fused harvest+canonicalize: one Arrow UDF pass producing
+    (src_url, link, canon_url, url_sha1, host) — the hot-path variant
+    of harvest_links |> canonicalized (identical rows, 1 Python pass
+    instead of 4)."""
+    exploded = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(udf_harvest_canon(F.col(url_col), F.col(html_col))).alias("l"),
+    )
+    return exploded.select(
+        "src_url",
+        F.col("l.link").alias("link"),
+        F.col("l.canon_url").alias("canon_url"),
+        F.col("l.url_sha1").alias("url_sha1"),
+        F.col("l.host").alias("host"),
     )
 
 
@@ -85,18 +106,39 @@ def politeness_schedule(
     hot_hosts: DataFrame | None = None,
     salt: int = 16,
     order_cols: tuple = ("depth", "canon_url"),
+    salt_all: bool = False,
 ) -> DataFrame:
     """Pick at most k URLs per host, best (depth, tiebreak) first.
 
     Plain path: one ranking window partitioned by host.
 
-    Skew path: hosts in `hot_hosts` (a small driver-side DataFrame of
-    (host)) are salted into `salt` sub-partitions; phase 1 takes the
-    top-k per (host, salt) — an upper bound of the true top-k — then
-    phase 2 re-windows the <= salt*k survivors per host. Exactness is
-    preserved because every true top-k row is within its salt's top-k.
+    Skew paths (both exact — every true top-k row is within its salt's
+    top-k, so the phase-2 re-window over <= salt*k survivors per host
+    recovers the global top-k):
+
+    * hot_hosts: only listed hosts are salted (needs a histogram pass
+      to find them — one extra job per epoch);
+    * salt_all=True: every host is salted — no histogram job, no
+      broadcast join; phase 2 runs over at most salt*k rows per host,
+      so the extra window is negligible. This is the default scale
+      path: a single-lineage plan robust to ANY skew without driver
+      round-trips.
     """
     order = [F.col(c).asc() for c in order_cols]
+
+    if salt_all:
+        w1 = Window.partitionBy("host", "salt").orderBy(*order)
+        w2 = Window.partitionBy("host").orderBy(*order)
+        return (
+            frontier.withColumn(
+                "salt", F.pmod(F.xxhash64("url_sha1"), F.lit(salt))
+            )
+            .withColumn("rn", F.row_number().over(w1))
+            .where(F.col("rn") <= k_per_host)
+            .withColumn("rn2", F.row_number().over(w2))
+            .where(F.col("rn2") <= k_per_host)
+            .drop("rn", "rn2", "salt")
+        )
 
     if hot_hosts is None:
         w = Window.partitionBy("host").orderBy(*order)

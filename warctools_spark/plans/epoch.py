@@ -107,9 +107,9 @@ def run_epoch(
     )
     fetched = schedule.join(pages_keyed, on="canon_url", how="inner")
 
-    # 3. harvest + canonicalize, depth = parent + 1
-    links = FR.canonicalized(
-        FR.harvest_links(fetched, url_col="page_url", html_col="html")
+    # 3. harvest + canonicalize (fused single Arrow pass), depth+1
+    links = FR.harvest_canonicalized(
+        fetched, url_col="page_url", html_col="html"
     ).join(
         fetched.select(F.col("page_url").alias("src_url"), "depth"),
         on="src_url",

@@ -132,17 +132,37 @@ def url_expr(doc_id):
     )
 
 
-def synthesize_pages(spark, sf_dir: str, repartition: int | None = None):
+def synthesize_pages(
+    spark, sf_dir: str, expand: int = 1, repartition: int | None = None
+):
     """documents.parquet -> pages DataFrame, distributed via
     mapInPandas (each executor synthesizes its partition; only the
-    row count crosses the driver)."""
+    row count crosses the driver).
+
+    expand=E replicates the corpus deterministically to E*n_docs pages
+    (page_id = doc_id + j*n_docs reuses doc j's text) — the bench knob
+    that scales input size independently of the driver's sf tier.
+    expand=1 is the oracle-checked identity layout.
+    """
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
+    n_pages = n_docs * expand
+    base = docs.select("doc_id", "text", "lang")
+    if expand > 1:
+        base = base.withColumn(
+            "j", F.explode(F.sequence(F.lit(0), F.lit(expand - 1)))
+        ).select(
+            (F.col("doc_id") + F.col("j") * n_docs).alias("doc_id"),
+            "text",
+            "lang",
+        )
     if repartition:
-        docs = docs.repartition(repartition)
+        base = base.repartition(repartition)
 
     def gen(batches):
         for pdf in batches:
-            yield pages_pdf(pdf, n_docs)
+            yield pages_pdf(pdf, n_pages)
 
-    return docs.select("doc_id", "text", "lang").mapInPandas(gen, PAGES_SCHEMA)
+    return base.mapInPandas(gen, PAGES_SCHEMA)
