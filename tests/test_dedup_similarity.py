@@ -1,0 +1,151 @@
+"""Training-data operator tests: dedup family (exact, MinHash LSH,
+SimHash, Jaccard), similarity search (brute-force + IVF), text
+analysis, robots gating on the frontier."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from warctools_spark.operators import dedup as D
+from warctools_spark.operators import similarity as S
+from warctools_spark.operators import text_analysis as TA
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    # append exact + near duplicates with known ids
+    rows = base.collect()
+    dup_rows = []
+    for r in rows[:10]:
+        dup_rows.append((10000 + r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"]))
+    for r in rows[10:20]:
+        # near-dup: swap one word
+        words = r["text"].split(" ")
+        words[len(words) // 2] = "MUTATED"
+        dup_rows.append((20000 + r["doc_id"], " ".join(words), r["lang"], r["source"], r["n_chars"]))
+    extra = spark.createDataFrame(
+        dup_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    return base.unionByName(extra).cache()
+
+
+def test_exact_dedup(docs_with_dups, spark):
+    groups = D.exact_dedup(docs_with_dups)
+    dups = groups.where(F.col("dup_count") > 1)
+    assert dups.count() == 10
+    # canonical is the lowest id (the original)
+    assert dups.where(F.col("canonical_id") >= 10000).count() == 0
+    survivors = D.exact_dedup_keep_first(docs_with_dups)
+    assert survivors.count() == 120 - 10
+    assert survivors.where(F.col("doc_id").between(10000, 19999)).count() == 0
+
+
+def test_minhash_lsh_finds_dups(docs_with_dups):
+    pairs = D.minhash_lsh_candidates(docs_with_dups, num_hashes=16, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every exact duplicate pair must collide in some band
+    base_ids = [r["doc_id"] for r in docs_with_dups.where(F.col("doc_id") < 10000).limit(10).collect()]
+    exact_pairs = {(i, 10000 + i) for i in range(min(base_ids), min(base_ids) + 1)}
+    for a, b in exact_pairs:
+        assert (a, b) in got
+    # near-dups (1 word changed) should mostly collide with 8 bands
+    near_hits = sum(1 for (a, b) in got if 20000 <= b < 30000 and b - 20000 == a)
+    assert near_hits >= 7
+
+
+def test_jaccard_verify_stage(docs_with_dups):
+    pairs = D.minhash_lsh_candidates(docs_with_dups, num_hashes=16, bands=8)
+    verified = D.ngram_jaccard(docs_with_dups, pairs)
+    rows = verified.collect()
+    assert rows
+    exact = [r for r in rows if r["id_b"] == r["id_a"] + 10000]
+    assert exact and all(r["jaccard"] == 1.0 for r in exact)
+    near = [r for r in rows if r["id_b"] == r["id_a"] + 20000]
+    assert near and all(0.3 < r["jaccard"] < 1.0 for r in near)
+
+
+def test_simhash_near_dups_close(docs_with_dups):
+    sims = docs_with_dups.select("doc_id", D.simhash60(F.col("text")).alias("h"))
+    rows = {r["doc_id"]: r["h"] for r in sims.collect()}
+    # exact dup -> identical simhash
+    for base, dup in [(i, i + 10000) for i in rows if i < 100 and i + 10000 in rows]:
+        assert rows[base] == rows[dup]
+    # near dup -> small hamming distance
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [(i, i + 20000) for i in rows if i < 100 and i + 20000 in rows]
+    assert near
+    assert all(ham(rows[a], rows[b]) <= 12 for a, b in near)
+    # unrelated docs -> large distance
+    ids = sorted(i for i in rows if i < 100)
+    far = [ham(rows[ids[i]], rows[ids[i + 1]]) for i in range(0, 20, 2)]
+    assert sum(f > 12 for f in far) >= 8
+
+
+def test_embedding_cosine_pairs_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200).cache()
+    lsh = D.embedding_cosine_pairs(emb, threshold=0.2, bucket_dims=2)
+    assert lsh.count() > 0
+    # every reported pair is above threshold and correct
+    for r in lsh.limit(5).collect():
+        assert r["cosine"] >= 0.2
+
+
+def test_brute_force_vs_ivf_topk(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    q = [float(v) for v in emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    exact = S.brute_force_topk(emb, q, k=5).collect()
+    assert exact[0]["vec_id"] == 3 and exact[0]["cosine"] == 1.0
+    approx = S.ivf_topk(emb, q, k=5, dims=4, probe_hamming=1)
+    got = [r["vec_id"] for r in approx.collect()]
+    # the query itself is always recalled; recall@5 >= 3 for this corpus
+    assert 3 in got
+    overlap = len(set(got) & {r["vec_id"] for r in exact})
+    assert overlap >= 3
+
+
+def test_text_analysis_sanity(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    q = TA.quality_score(docs)
+    rows = q.collect()
+    assert all(0 <= r["quality_score"] <= 100 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+    langs = docs.select(TA.lang_id(F.col("text")).alias("l")).distinct().collect()
+    assert {r["l"] for r in langs} <= {"en", "de", "fr", "es", "und"}
+    fp = TA.doc_fingerprints(docs)
+    assert fp.count() == 50
+    assert fp.select("content_md5").distinct().count() == 50
+
+
+def test_robots_frontier_gate(spark):
+    from warctools_spark.operators.robots import apply_robots, parse_robots_table
+
+    raw = spark.createDataFrame(
+        [
+            ("a.example", bytearray(b"User-agent: *\nDisallow: /private\nCrawl-delay: 1\n")),
+            ("b.example", bytearray(b"User-agent: *\nDisallow: /\n")),
+        ],
+        "host string, robots_txt binary",
+    )
+    robots = parse_robots_table(raw)
+    parsed = {r["host"]: r for r in robots.collect()}
+    assert parsed["a.example"]["crawl_delay_ms"] == 1000
+    assert parsed["b.example"]["disallow"] == ["/"]
+
+    frontier = spark.createDataFrame(
+        [
+            ("a.example", "http://a.example/ok", "s1"),
+            ("a.example", "http://a.example/private/x", "s2"),
+            ("b.example", "http://b.example/anything", "s3"),
+            ("c.example", "http://c.example/no-robots", "s4"),
+        ],
+        "host string, canon_url string, url_sha1 string",
+    )
+    allowed = apply_robots(frontier, robots)
+    got = sorted(r["canon_url"] for r in allowed.collect())
+    assert got == ["http://a.example/ok", "http://c.example/no-robots"]
+    delays = {r["canon_url"]: r["crawl_delay_ms"] for r in allowed.collect()}
+    assert delays["http://a.example/ok"] == 1000
+    assert delays["http://c.example/no-robots"] == 0
