@@ -1,0 +1,84 @@
+"""Physical-plan regression tests: the properties that make the
+engine scale must stay visible in explain() output.
+
+These are the checks SURVEY §4 calls out: column pruning down to the
+needed columns (never read the html binary unless the operator needs
+it), filter pushdown reaching the parquet scan, broadcast for the
+small join side, map-side top-k (WindowGroupLimit) for politeness
+windows, and partial aggregation for counts.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from warctools_spark.operators.frontier import (
+    dedup_against_seen,
+    dedup_within_epoch,
+    harvest_canonicalized,
+    politeness_schedule,
+)
+from warctools_spark.sources.pages import synthesize_pages
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plan_pages"))
+    synthesize_pages(spark, SF_DIR).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_column_pruning_never_reads_html_for_url_ops(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    plan = _plan(pages.where(F.col("url").rlike("^http://hot")).select("url"))
+    assert "ReadSchema: struct<url:string>" in plan  # html binary pruned
+    assert "PushedFilters: [IsNotNull(url)]" in plan
+
+
+def test_harvest_scan_reads_only_url_and_html(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    plan = _plan(harvest_canonicalized(pages))
+    assert "struct<url:string,html:binary>" in plan  # not text/lang/warc_ts
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+
+
+def test_no_rowwise_python_udfs_anywhere(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    links = harvest_canonicalized(pages).withColumn("depth", F.lit(1))
+    sched = politeness_schedule(
+        dedup_within_epoch(links), 5, salt_all=True
+    )
+    plan = _plan(sched)
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python = forbidden
+
+
+def test_anti_join_broadcasts_small_seen(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    links = harvest_canonicalized(pages).withColumn("depth", F.lit(1))
+    cand = dedup_within_epoch(links)
+    seen = spark.range(100).select(F.md5(F.col("id").cast("string")).alias("url_sha1"))
+    plan = _plan(dedup_against_seen(cand, seen))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_politeness_window_uses_group_limit(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    links = harvest_canonicalized(pages).withColumn("depth", F.lit(1))
+    plan = _plan(politeness_schedule(dedup_within_epoch(links), 5))
+    # Spark 4 WindowGroupLimit: top-k filtered map-side before the
+    # shuffle — the property that keeps hot hosts from flooding the wire
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Partial") >= 1
+
+
+def test_host_agg_partial_aggregation(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    links = harvest_canonicalized(pages)
+    plan = _plan(links.groupBy("host").agg(F.count("*").alias("n")))
+    assert "partial_count" in plan  # map-side combine before shuffle
