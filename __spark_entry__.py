@@ -505,6 +505,83 @@ def _q_warc_roundtrip(spark, sf_dir):
     )
 
 
+
+def _q_lsh_band_buckets(spark, sf_dir):
+    """MinHash LSH banding: (doc_id, band, band_key) — the bucket keys
+    that drive candidate generation, fully oracle-replayable."""
+    from warctools_spark.operators.dedup import minhash_signature
+
+    docs = _docs(spark, sf_dir)
+    sig = docs.select("doc_id", minhash_signature(F.col("text"), 8).alias("sig"))
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            F.col("sig")[b * 2].cast("string"),
+                            F.col("sig")[b * 2 + 1].cast("string"),
+                        ).alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def _q_image_features(spark, sf_dir):
+    """Multimodal plumbing: fake-codec decode + pixel stats, checked
+    against an oracle that recomputes the quantization in SQL."""
+    from warctools_spark.operators.multimodal import image_features, synthesize_media
+
+    media = synthesize_media(spark, sf_dir)
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.col("features")[0], 6).alias("px_mean"),
+        F.round(F.col("features")[1], 6).alias("px_std"),
+        F.round(F.col("features")[2], 6).alias("hist0"),
+    )
+
+
+def _q_unpack_paths(spark, sf_dir):
+    """warcunpack output-path projection over 2xx html pages
+    (warcunpack_ia.py:168-215 sanitize semantics)."""
+    from warctools_spark.functions.udfs import udf_decode_http
+    from warctools_spark.operators.unpack import udf_sanitize_path
+
+    pages = _pages(spark, sf_dir)
+    h = udf_decode_http("html")
+    return (
+        pages.withColumn("code", h["code"]).withColumn("mime", h["mime"])
+        .where((F.col("code") >= 200) & (F.col("code") < 300))
+        .select("url", udf_sanitize_path("url", "mime").alias("out_path"))
+    )
+
+
+def _q_cuckoo_dedup(spark, sf_dir):
+    """Cuckoo-filter two-tier dedup == exact anti-join (delete-capable
+    seen-set fallback)."""
+    from warctools_spark.operators.cuckoo import two_tier_dedup_cuckoo
+    from warctools_spark.functions.udfs import udf_url_sha1
+    from warctools_spark.sources.pages import url_expr
+
+    cand = _candidates(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    seen_ids = spark.range(0, n, 2).select(
+        udf_url_sha1(url_expr(F.col("id"))).alias("url_sha1")
+    )
+    exact = cand.join(seen_ids, "url_sha1", "left_anti")
+    two = two_tier_dedup_cuckoo(spark, cand, seen_ids, n_buckets=8)
+    return spark.createDataFrame(
+        [(exact.count(), two.count())], "exact_count long, cuckoo_count long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "page_index": _q_page_index,
@@ -534,8 +611,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3ish": _q_tpch_q3ish,
         "events_sessionize": _q_events_sessionize,
         "events_hourly": _q_events_hourly,
+        "lsh_band_buckets": _q_lsh_band_buckets,
+        "image_features": _q_image_features,
+        "unpack_paths": _q_unpack_paths,
         # rows-only (kernel semantics not expressible in SQL)
         "frontier_epoch": _q_frontier_epoch,
+        "cuckoo_dedup": _q_cuckoo_dedup,
         "bloom_dedup": _q_bloom_dedup,
         "warc_roundtrip": _q_warc_roundtrip,
     }
@@ -858,6 +939,45 @@ def oracle_sql() -> dict[str, str]:
                 THEN 1 ELSE 0 END AS new_session
               FROM events
             )
+        """,
+        "lsh_band_buckets": f"""
+            WITH hsrc AS (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
+                      % 2147483647 for sh in {sh}] AS hs
+              FROM documents
+            ),
+            sig AS (SELECT doc_id, [{minhash_cols}] AS sig FROM hsrc)
+            SELECT doc_id, t.b['band'] AS band, t.b['band_key'] AS band_key
+            FROM sig, UNNEST([
+              {{'band': 0, 'band_key': sig[1]::VARCHAR || '-' || sig[2]::VARCHAR}},
+              {{'band': 1, 'band_key': sig[3]::VARCHAR || '-' || sig[4]::VARCHAR}},
+              {{'band': 2, 'band_key': sig[5]::VARCHAR || '-' || sig[6]::VARCHAR}},
+              {{'band': 3, 'band_key': sig[7]::VARCHAR || '-' || sig[8]::VARCHAR}}
+            ]) AS t(b)
+        """,
+        "image_features": """
+            WITH v AS (SELECT vec_id AS media_id,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT media_id,
+                    [trunc(((x - list_min(v))
+                            / (list_max(v) - list_min(v) + 1e-9)) * 255)
+                     for x in v] AS px
+                  FROM v)
+            SELECT media_id,
+                   round(list_sum(px) / len(px), 6) AS px_mean,
+                   round(sqrt(list_sum([(x - list_sum(px) / len(px)) ** 2
+                                        for x in px]) / len(px)), 6) AS px_std,
+                   round(len(list_filter(px, x -> x < 32)) / len(px), 6)
+                       AS hist0
+            FROM q
+        """,
+        "unpack_paths": f"""
+            SELECT {_URL.format(id="doc_id")} AS url,
+                   'http/' || {_HOST.format(id="doc_id")}
+                     || '/doc/' || doc_id || '.html' AS out_path
+            FROM documents
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -102,6 +102,50 @@ def test_checkpoint_resume_exact(spark, pages, seeds, tmp_path):
     assert sched_resumed == sched_mem
 
 
+def test_engine_matches_simulator_with_robots(spark, pages, seeds):
+    """Crawl parity incl. robots disallow rules + crawl-delay fetch
+    budgets (engine: broadcast join + budgeted salted window;
+    simulator: explicit dict) — schedules and seen sets must agree."""
+    from warctools_spark.kernels.robots import parse_robots
+    from warctools_spark.operators.robots import parse_robots_table
+
+    seed_df, urls = seeds
+    robots_txt = {
+        "hot.example.com": b"User-agent: *\nCrawl-delay: 30\nDisallow: /doc/13\n",
+        "src3.example.com": b"User-agent: *\nDisallow: /\n",
+    }
+    raw = spark.createDataFrame(
+        [(h, bytearray(t)) for h, t in robots_txt.items()],
+        "host string, robots_txt binary",
+    )
+    robots_df = parse_robots_table(raw)
+    robots_dict = {h: parse_robots(t) for h, t in robots_txt.items()}
+
+    page_map = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    sim_schedules, sim_seen = simulate_crawl(
+        page_map, urls, EPOCHS, k_per_host=K, robots=robots_dict
+    )
+
+    queue, seen = init_state(seed_df)
+    eng_schedules = []
+    for e in range(EPOCHS):
+        res = run_epoch(
+            spark, pages, queue, seen, epoch=e, k_per_host=K, robots=robots_df
+        )
+        eng_schedules.append(
+            sorted(r["canon_url"] for r in res.schedule.select("canon_url").collect())
+        )
+        queue, seen = res.queue, res.seen
+    eng_seen = sorted(r["url_sha1"] for r in seen.distinct().collect())
+
+    assert eng_schedules == sim_schedules
+    assert eng_seen == sorted(sim_seen)
+    # the crawl-delay budget bit: hot host capped at 60000/30000 = 2
+    for sched in eng_schedules:
+        hot = [u for u in sched if "hot.example.com" in u]
+        assert len(hot) <= 2
+
+
 def test_queue_drains_scheduled(spark, pages, seeds):
     seed_df, _ = seeds
     queue, seen = init_state(seed_df)

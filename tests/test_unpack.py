@@ -1,0 +1,103 @@
+"""warcunpack path sanitization parity + point lookup + dump."""
+
+import pytest
+
+from tests.conftest import reference_available
+from warctools_spark.operators.unpack import sanitize_path
+
+
+def test_sanitize_basic():
+    p = sanitize_path("http://example.org/a/b/page.html", "text/html")
+    assert p == "http/example.org/a/b/page.html"
+
+
+def test_sanitize_bad_chars():
+    p = sanitize_path("http://example.org/a?q=1&x=2", None)
+    # non-whitelisted chars -> '_', no filename -> default + .html
+    assert p.startswith("http/example.org/")
+    assert "?" not in p and "&" not in p and "=" not in p
+
+
+def test_sanitize_mime_extension():
+    p = sanitize_path("http://example.org/img", "image/png")
+    assert p.endswith(".png")
+
+
+def test_sanitize_length_caps():
+    long_dir = "http://example.org/" + "/".join(["d" * 30] * 12) + "/f.html"
+    p = sanitize_path(long_dir, "text/html")
+    directory, _, fname = p.rpartition("/")
+    assert len(directory) <= 200
+    long_name = "http://example.org/" + "n" * 100 + ".html"
+    p2 = sanitize_path(long_name, "text/html")
+    assert len(p2.rsplit("/", 1)[-1]) <= 45
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not importable")
+def test_sanitize_parity_vs_reference(tmp_path, monkeypatch):
+    """Differential against the reference output_file() (which touches
+    the filesystem, so run it in a sandbox dir)."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "warcunpack_ia", "/root/reference/warcunpack_ia.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception:
+        pytest.skip("reference warcunpack_ia not importable on this python")
+
+    cases = [
+        ("http://example.org/a/b/page.html", "text/html"),
+        ("http://example.org/img", "image/png"),
+        ("https://x.example/path/with spaces/f.txt", "text/plain"),
+        ("http://example.org/" + "n" * 100 + ".html", "text/html"),
+    ]
+    out = str(tmp_path)
+    for url, mime in cases:
+        ref_full, _ = mod.output_file(out, url, mime, "index")
+        ref_rel = os.path.relpath(ref_full, os.path.realpath(out))
+        assert ref_rel == sanitize_path(url, mime), url
+
+
+def test_unpack_log_and_point_lookup(spark):
+    from warctools_spark.operators.unpack import (
+        extract_payload,
+        record_summary,
+        unpack_log,
+    )
+
+    triaged = spark.createDataFrame(
+        [
+            ("f.warc", 0, "http://a.example/x.html", 200, "text/html", "2013-11-15T00:00:00Z"),
+            ("f.warc", 100, "http://a.example/x.html", 200, "text/html", "2013-11-15T00:00:01Z"),
+            ("f.warc", 200, "http://a.example/gone", 404, "text/html", "2013-11-15T00:00:02Z"),
+        ],
+        "source_file string, offset long, url string, code int, mime string, warc_date string",
+    )
+    log = unpack_log(triaged, collection_id="COLL").collect()
+    assert len(log) == 2  # 404 excluded
+    by_off = {r["offset"]: r for r in log}
+    assert by_off[0]["out_path"] == "http/a.example/x.html"
+    assert by_off[0]["dup_rank"] == 0 and by_off[100]["dup_rank"] == 1
+    assert by_off[0]["wayback_uri"] == (
+        "http://wayback/COLL/20131115000000/http://a.example/x.html"
+    )
+
+    records = spark.createDataFrame(
+        [
+            ("f.warc", 0, "warc", "response", "http://a/1", "application/http",
+             5, bytearray(b"hello"), [], []),
+        ],
+        "source_file string, offset long, format string, record_type string, "
+        "url string, content_type string, content_length long, content binary, "
+        "headers array<struct<name:string,value:string>>, errors array<string>",
+    )
+    hit = extract_payload(records, "f.warc", 0).collect()
+    assert len(hit) == 1 and bytes(hit[0]["content"]) == b"hello"
+    assert extract_payload(records, "f.warc", 999).count() == 0
+    summary = record_summary(records).collect()[0]
+    assert "content_preview" in summary.asDict()

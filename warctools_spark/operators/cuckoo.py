@@ -1,0 +1,234 @@
+"""Cuckoo-filter URL-seen set — the delete-supporting fallback behind
+the same two-tier interface as the Bloom filter (north_rule: "bloom/
+cuckoo URL-seen"; SURVEY §7 phase 3).
+
+Why cuckoo: a crawl occasionally needs to *retract* seen-ness
+(recrawl-after-expiry, corrected canonicalization). Bloom cannot
+delete; a cuckoo filter supports delete with ~the same space at low
+FPR and a definitive negative, so the two-tier exactness argument
+carries over unchanged: negatives skip the exact join, positives are
+verified against the exact table.
+
+Determinism (resume parity): no RNG anywhere. Index/fingerprint
+derive from the url_sha1 hex; eviction victims rotate by an insertion
+counter, so filter bytes are identical across runs and partitions.
+
+Layout: nb buckets x 4 slots of uint16 fingerprints (0 = empty),
+serialized as the raw little-endian array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SLOTS = 4
+MAX_KICKS = 500
+VERSION = 1
+
+
+def _fp_index(sha1_hex: str, nb: int) -> tuple[int, int]:
+    """(fingerprint, primary index) from the sha1 hex. nb MUST be a
+    power of two so the xor alt-index is an involution."""
+    fp = (int(sha1_hex[30:34], 16) % 0xFFFF) + 1  # 1..65535, 0 = empty
+    i1 = int(sha1_hex[0:15], 16) & (nb - 1)
+    return fp, i1
+
+
+def _alt_index(i: int, fp: int, nb: int) -> int:
+    """Partial-key cuckoo: i2 = i1 xor H(fp) — an involution only when
+    nb is a power of two (alt(alt(i)) == i), which the eviction walk
+    relies on."""
+    return (i ^ (fp * 0x5BD1E995)) & (nb - 1)
+
+
+class CuckooFilter:
+    """Single-partition filter; built per host-hash bucket inside
+    applyInPandas, probed from a broadcast."""
+
+    def __init__(self, nb: int, table: np.ndarray | None = None):
+        self.nb = nb
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((nb, SLOTS), dtype=np.uint16)
+        )
+
+    @classmethod
+    def sized_for(cls, n_keys: int, load: float = 0.84) -> "CuckooFilter":
+        need = max(8, int(n_keys / (SLOTS * load)) + 1)
+        nb = 1
+        while nb < need:
+            nb <<= 1
+        return cls(nb)
+
+    def insert(self, sha1_hex: str) -> bool:
+        fp, i1 = _fp_index(sha1_hex, self.nb)
+        i2 = _alt_index(i1, fp, self.nb)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        # evict: deterministic victim rotation keyed by fp + kick count
+        i = i1 if fp % 2 else i2
+        cur = np.uint16(fp)
+        for kick in range(MAX_KICKS):
+            slot = (fp + kick) % SLOTS
+            cur, self.table[i][slot] = self.table[i][slot], cur
+            i = _alt_index(i, int(cur), self.nb)
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                return True
+        return False  # table over-full; caller should resize
+
+    def contains(self, sha1_hex: str) -> bool:
+        fp, i1 = _fp_index(sha1_hex, self.nb)
+        i2 = _alt_index(i1, fp, self.nb)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, sha1_hex: str) -> bool:
+        fp, i1 = _fp_index(sha1_hex, self.nb)
+        for i in (i1, _alt_index(i1, fp, self.nb)):
+            row = self.table[i]
+            hits = np.where(row == fp)[0]
+            if len(hits):
+                row[hits[0]] = 0
+                return True
+        return False
+
+    def to_bytes(self) -> bytes:
+        return self.table.astype("<u2").tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, nb: int) -> "CuckooFilter":
+        table = np.frombuffer(data, dtype="<u2").reshape(nb, SLOTS).copy()
+        return cls(nb, table)
+
+
+def build_cuckoo(
+    seen: DataFrame, n_buckets: int = 32, load: float = 0.7
+) -> DataFrame:
+    """seen(url_sha1) -> one row per host-hash bucket:
+    (bucket, nb, version, overflowed, bits)."""
+    keyed = seen.select(
+        F.pmod(F.xxhash64("url_sha1"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "url_sha1",
+    )
+    total = seen.count()
+    per_bucket = max(total // max(n_buckets, 1), 1)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        flt = CuckooFilter.sized_for(max(len(pdf), per_bucket), load)
+        overflowed = 0
+        for h in sorted(pdf["url_sha1"]):  # sorted: deterministic kicks
+            if not flt.insert(h):
+                overflowed += 1
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else -1
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "nb": [flt.nb],
+                "version": [VERSION],
+                "overflowed": [overflowed],
+                "bits": [flt.to_bytes()],
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandas(
+        fold, "bucket int, nb int, version int, overflowed int, bits binary"
+    )
+
+
+def delete_from_cuckoo(cuckoo: DataFrame, deletions: DataFrame, n_buckets: int) -> DataFrame:
+    """Retract keys: cogroup filters with their bucket's deletions and
+    remove fingerprints — the operation Bloom cannot do."""
+    keyed = deletions.select(
+        F.pmod(F.xxhash64("url_sha1"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "url_sha1",
+    )
+
+    def apply_deletes(filters: pd.DataFrame, dels: pd.DataFrame) -> pd.DataFrame:
+        if not len(filters):
+            return filters
+        row = filters.iloc[0]
+        flt = CuckooFilter.from_bytes(row["bits"], int(row["nb"]))
+        for h in sorted(dels["url_sha1"]):
+            flt.delete(h)
+        out = filters.copy()
+        out.loc[out.index[0], "bits"] = flt.to_bytes()
+        return out
+
+    return (
+        cuckoo.groupBy("bucket")
+        .cogroup(keyed.groupBy("bucket"))
+        .applyInPandas(
+            apply_deletes,
+            "bucket int, nb int, version int, overflowed int, bits binary",
+        )
+    )
+
+
+def probe_cuckoo(
+    spark: SparkSession, candidates: DataFrame, cuckoo: DataFrame, n_buckets: int
+) -> DataFrame:
+    """candidates + maybe_seen column (definitive negative)."""
+    rows = cuckoo.collect()
+    filters = {
+        int(r["bucket"]): (bytes(r["bits"]), int(r["nb"]), int(r["overflowed"]))
+        for r in rows
+    }
+    bc = spark.sparkContext.broadcast(filters)
+
+    @F.pandas_udf("boolean")
+    def _maybe(bucket: pd.Series, sha1s: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = np.zeros(len(sha1s), dtype=bool)
+        flt_map = bc.value
+        for i, (b, h) in enumerate(zip(bucket, sha1s)):
+            if h is None or b is None:
+                continue
+            entry = flt_map.get(int(b))
+            if entry is None:
+                continue
+            data, nb, overflowed = entry
+            if overflowed:
+                out[i] = True  # lossy bucket -> always verify exactly
+                continue
+            flt = cache.get(int(b))
+            if flt is None:
+                flt = CuckooFilter.from_bytes(data, nb)
+                cache[int(b)] = flt
+            out[i] = flt.contains(h)
+        return pd.Series(out)
+
+    return candidates.withColumn(
+        "maybe_seen",
+        _maybe(
+            F.pmod(F.xxhash64("url_sha1"), F.lit(n_buckets)).cast("int"),
+            F.col("url_sha1"),
+        ),
+    )
+
+
+def two_tier_dedup_cuckoo(
+    spark: SparkSession,
+    candidates: DataFrame,
+    seen: DataFrame,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact frontier \\ seen with the cuckoo fast path (same contract
+    as operators.seen.two_tier_dedup)."""
+    cuckoo = build_cuckoo(seen, n_buckets=n_buckets)
+    probed = probe_cuckoo(spark, candidates, cuckoo, n_buckets)
+    definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    survivors = suspects.join(
+        seen.select("url_sha1").distinct(), on="url_sha1", how="left_anti"
+    )
+    return definitely_new.unionByName(survivors)

@@ -169,6 +169,42 @@ def politeness_schedule(
     )
 
 
+def politeness_schedule_budgeted(
+    frontier: DataFrame,
+    k_per_host: int,
+    epoch_ms: int = 60_000,
+    order_cols: tuple = ("depth", "canon_url"),
+    salt: int = 16,
+) -> DataFrame:
+    """Politeness with per-host crawl-delay budgets: a host allows at
+    most min(k, epoch_ms / crawl_delay_ms) fetches per epoch window
+    (robots Crawl-delay, operators/robots.py). Two-phase salted window
+    as in salt_all — the per-row budget predicate composes with
+    row_number the same way."""
+    order = [F.col(c).asc() for c in order_cols]
+    budget = F.least(
+        F.lit(k_per_host),
+        F.when(
+            F.coalesce(F.col("crawl_delay_ms"), F.lit(0)) > 0,
+            F.greatest(
+                F.lit(1),
+                (F.lit(epoch_ms) / F.col("crawl_delay_ms")).cast("int"),
+            ),
+        ).otherwise(F.lit(k_per_host)),
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        frontier.withColumn("budget", budget)
+        .withColumn("salt", F.pmod(F.xxhash64("url_sha1"), F.lit(salt)))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= F.col("budget"))
+        .withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") <= F.col("budget"))
+        .drop("rn", "rn2", "salt", "budget")
+    )
+
+
 def detect_hot_hosts(frontier: DataFrame, threshold: int) -> DataFrame:
     """Per-epoch host histogram; hosts above `threshold` candidate rows
     get salted windows (SURVEY.md §4.2)."""

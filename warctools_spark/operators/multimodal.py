@@ -89,7 +89,9 @@ def synthesize_media(spark, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {"media_id": [], "kind": [], "blob": [], "meta": []}
             for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
-                arr = np.asarray(vec, dtype=np.float32)
+                # float64 throughout: the quantization is then exact
+                # IEEE double math a SQL oracle can replicate bit-for-bit
+                arr = np.asarray(vec, dtype=np.float64)
                 q = ((arr - arr.min()) / (np.ptp(arr) + 1e-9) * 255).astype(np.uint8)
                 side = int(len(q) ** 0.5)
                 blob = encode_img1(side, side, 1, q[: side * side].tobytes())

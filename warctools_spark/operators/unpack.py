@@ -1,0 +1,132 @@
+"""warcunpack_ia as a projection: url -> sanitized output path +
+wayback URI (the *log projection* of warcunpack_ia.py:35-40; the
+filesystem side-effect sink itself is out of engine scope, SURVEY
+§2.5).
+
+Cloned semantics (/root/reference/warcunpack_ia.py:168-215, 112-115):
+* char whitelist: alnum + '_-/.' else '_', '://' -> '/' once
+* directory path capped at 200 chars (after normpath)
+* file name capped so name+ext fits 45 chars
+* mime-derived extension when the url has none or disagrees
+* wayback uri: prefix + collectionId + '/' + date stripped of 'TZ:-'
+  + '/' + url (warcunpack_ia.py:112-115)
+
+Collision-suffixing (uuid4) is inherently non-deterministic and
+filesystem-dependent in the reference; the engine instead emits a
+`dup_rank` column (row_number per path) — collision handling as data.
+"""
+
+from __future__ import annotations
+
+import mimetypes
+import posixpath
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def sanitize_path(url: str, mime_type: str | None, default_name: str = "index") -> str:
+    """output_file() path logic without the filesystem probing."""
+    clean_url = "".join(
+        (c if c.isalpha() or c.isdigit() or c in "_-/." else "_")
+        for c in url.replace("://", "/", 1)
+    )
+    parts = clean_url.split("/")
+    directories, filename = parts[:-1], parts[-1]
+    path = [d for d in directories if d]
+
+    if filename:
+        name, ext = posixpath.splitext(filename)
+    else:
+        name, ext = default_name, ""
+
+    if mime_type:
+        guess_type = mimetypes.guess_type(url)
+        if not ext or guess_type != mime_type:
+            mime_ext = mimetypes.guess_extension(mime_type)
+            if mime_ext:
+                ext = mime_ext
+    elif not ext:
+        ext = ".html"
+
+    directory = posixpath.normpath(posixpath.join(*path)) if path else "."
+    directory = directory[:200]
+    filename = name[: 45 - len(ext)] + ext
+    return posixpath.join(directory, filename)
+
+
+@pandas_udf(T.StringType())
+def udf_sanitize_path(url: pd.Series, mime: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            sanitize_path(u, m) if u is not None else None
+            for u, m in zip(url, mime)
+        ],
+        dtype="object",
+    )
+
+
+def unpack_log(
+    triaged: DataFrame,
+    collection_id: str = "",
+    wayback_prefix: str = "http://wayback/",
+) -> DataFrame:
+    """(source_file, offset, url, code, mime, warc_date) -> the unpack
+    log rows: output path, wayback uri, dup_rank. Input is
+    archive_ops.http_triage joined back to warc_date; only 2xx rows
+    unpack (warcunpack_ia.py:104-118)."""
+    rows = triaged.where((F.col("code") >= 200) & (F.col("code") < 300))
+    rows = rows.withColumn("out_path", udf_sanitize_path("url", "mime"))
+    wayback = (
+        F.concat(
+            F.lit(wayback_prefix),
+            F.lit(collection_id),
+            F.lit("/"),
+            F.translate(F.col("warc_date"), "TZ:-", ""),
+            F.lit("/"),
+            F.col("url"),
+        )
+        if collection_id
+        else F.lit("")
+    )
+    w = Window.partitionBy("out_path").orderBy("source_file", "offset")
+    return rows.withColumn("wayback_uri", wayback).withColumn(
+        "dup_rank", F.row_number().over(w) - 1
+    )
+
+
+def extract_payload(records: DataFrame, source_file: str, offset: int) -> DataFrame:
+    """warcextract/warcpayload point lookup (warcextract.py:46-61,
+    warcpayload.py:25-61): one record's content by (file, offset).
+    Columnar storage makes this a pruned scan instead of a byte-seek;
+    over the bucketed catalog it prunes to one bucket."""
+    return records.where(
+        (F.col("source_file") == source_file) & (F.col("offset") == offset)
+    ).select("url", "record_type", "content_type", "content_length", "content")
+
+
+def record_summary(records: DataFrame, max_content: int = 1024) -> DataFrame:
+    """warcdump-style human-readable summary (record.py:143-165):
+    headers + escaped content prefix — debug projection."""
+    esc = F.regexp_replace(
+        F.substring(F.col("content").cast("string"), 1, max_content),
+        r"[^\w\t \|\\/]",
+        "_",
+    )
+    return records.select(
+        "source_file",
+        "offset",
+        "record_type",
+        "url",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.col("headers"), lambda h: F.concat(h["name"], F.lit(": "), h["value"])
+            ),
+        ).alias("header_text"),
+        esc.alias("content_preview"),
+        "errors",
+    )

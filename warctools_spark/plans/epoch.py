@@ -88,15 +88,26 @@ def run_epoch(
     plan depth is what keeps a 1000-epoch crawl schedulable."""
     t0 = time.time()
 
-    # 1. politeness schedule (optionally skew-salted)
-    hot = (
-        FR.detect_hot_hosts(queue, hot_host_threshold)
-        if hot_host_threshold is not None
-        else None
-    )
-    schedule = FR.politeness_schedule(queue, k_per_host, hot_hosts=hot).select(
-        *QUEUE_COLS
-    )
+    # 1. politeness schedule (optionally skew-salted; with robots the
+    # per-host fetch budget = min(k, epoch_window / crawl_delay))
+    if robots is not None and "crawl_delay_ms" in robots.columns:
+        queued = queue.join(
+            F.broadcast(robots.select("host", "crawl_delay_ms")),
+            on="host",
+            how="left",
+        )
+        schedule = FR.politeness_schedule_budgeted(queued, k_per_host).select(
+            *QUEUE_COLS
+        )
+    else:
+        hot = (
+            FR.detect_hot_hosts(queue, hot_host_threshold)
+            if hot_host_threshold is not None
+            else None
+        )
+        schedule = FR.politeness_schedule(queue, k_per_host, hot_hosts=hot).select(
+            *QUEUE_COLS
+        )
 
     # 2. simulated fetch: join the scheduled urls to the pages corpus.
     # pages is keyed by raw url; canonical keys make the join exact.

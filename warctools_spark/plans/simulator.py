@@ -36,6 +36,7 @@ def simulate_crawl(
     epochs: int,
     k_per_host: int = 10,
     robots: dict[str, RobotsRules] | None = None,
+    epoch_ms: int = 60_000,
 ):
     """Returns (per_epoch_schedules, seen_set) where each schedule is a
     sorted list of canonical urls scheduled that epoch."""
@@ -58,7 +59,14 @@ def simulate_crawl(
         schedule = []
         for host, items in by_host.items():
             items.sort()
-            schedule.extend(items[:k_per_host])
+            budget = k_per_host
+            if robots is not None:
+                rules = robots.get(host)
+                if rules is not None and rules.crawl_delay_ms:
+                    budget = min(
+                        k_per_host, max(1, epoch_ms // rules.crawl_delay_ms)
+                    )
+            schedule.extend(items[:budget])
 
         scheduled_shas = {sha for _, _, sha in schedule}
         schedules.append(sorted(canon for _, canon, _ in schedule))
