@@ -72,6 +72,35 @@ class Catalog:
             json.dump(manifest, f, indent=2)
         os.replace(tmp, self.manifest_path(epoch))
 
+    # ---- bucketed tables (storage-partitioned joins) ----
+    def write_bucketed_table(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        table: str,
+        epoch: int,
+        key: str = "url_sha1",
+    ) -> str:
+        """Write as a bucketBy/sortBy table (external, under the
+        catalog root). Two tables bucketed by the same key and count
+        join with ZERO exchange (SortMergeJoin over co-located buckets)
+        — the plan that replaces broadcast once `seen` outgrows a
+        broadcast at 10^10 keys. Verified by
+        tests/test_plan_quality.py::test_bucketed_seen_join_no_exchange."""
+        name = f"{table}_e{epoch:05d}"
+        path = self.table_path(f"{table}_bucketed", epoch)
+        (
+            df.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(self.n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+        return name
+
+    def read_bucketed_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.table(name)
+
     # ---- resume ----
     def latest_epoch(self) -> int | None:
         mdir = os.path.join(self.root, "_manifests")
