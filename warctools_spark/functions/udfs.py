@@ -126,8 +126,13 @@ LINK_STRUCT = T.ArrayType(
 def udf_harvest_canon(url: pd.Series, html: pd.Series) -> pd.Series:
     """Fused harvest: http decode -> link extract -> canonicalize ->
     sha1 -> host, one Arrow pass (vs 4 separate UDF passes — the
-    canonical scan-side shape for the frontier hot path)."""
+    canonical scan-side shape for the frontier hot path).
+
+    Link-level results are memoized per Arrow batch: web link graphs
+    repeat targets heavily, so the urlparse/sha1 work runs once per
+    distinct link instead of once per occurrence."""
     out = []
+    memo: dict = {}
     for u, payload in zip(url, html):
         if payload is None:
             out.append([])
@@ -139,15 +144,17 @@ def udf_harvest_canon(url: pd.Series, html: pd.Series) -> pd.Series:
             continue
         rows = []
         for link in extract_links(u or "", res.decoded_body()):
-            canon = canonicalize_url(link)
-            rows.append(
-                {
+            row = memo.get(link)
+            if row is None:
+                canon = canonicalize_url(link)
+                row = {
                     "link": link,
                     "canon_url": canon,
                     "url_sha1": _sha1_hex(canon),
                     "host": url_host(link),
                 }
-            )
+                memo[link] = row
+            rows.append(row)
         out.append(rows)
     return pd.Series(out, dtype="object")
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import posixpath
+from functools import lru_cache
 from urllib.parse import urlparse, urlunparse
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
@@ -42,6 +43,7 @@ def squash_path(path: str) -> str:
     return path or "/"
 
 
+@lru_cache(maxsize=1 << 16)
 def canonicalize_url(url: str) -> str:
     """Canonical form used as the seen-set key."""
     try:
@@ -65,11 +67,13 @@ def canonicalize_url(url: str) -> str:
     return urlunparse((scheme, netloc, path, p.params, p.query, ""))
 
 
+@lru_cache(maxsize=1 << 16)
 def url_sha1(url: str) -> str:
     """Hex SHA1 of the canonical URL — the exact seen-set key."""
     return hashlib.sha1(canonicalize_url(url).encode("utf-8")).hexdigest()
 
 
+@lru_cache(maxsize=1 << 16)
 def url_host(url: str) -> str:
     """Lowercased host for politeness partitioning."""
     try:

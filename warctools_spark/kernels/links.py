@@ -14,8 +14,13 @@ warclinks.py:66.
 from __future__ import annotations
 
 import posixpath
+from functools import lru_cache
 from html.parser import HTMLParser
 from urllib.parse import urlparse, urlunparse
+
+# urlparse is pure and ParseResult immutable; link graphs repeat
+# targets heavily, so caching across documents is a large win
+_urlparse = lru_cache(maxsize=1 << 16)(urlparse)
 
 # warclinks.py:133-157
 _TAG_ATTRS = {
@@ -77,10 +82,10 @@ class _LinkCollector(HTMLParser):
     def abs_links(self):
         """get_abs_links (warclinks.py:170-199)."""
         full = []
-        root = urlparse(self.base)
+        root = _urlparse(self.base)
         root_dir = posixpath.split(root.path)[0]
         for link in self.links:
-            parsed = urlparse(link)
+            parsed = _urlparse(link)
             if not parsed.netloc:  # relative (no host)
                 if parsed.path.startswith("/"):
                     parsed = root[0:2] + parsed[2:5] + ("",)
@@ -122,4 +127,8 @@ def extract_links(base_url: str, body: bytes | str) -> list[str]:
         links = collector.abs_links()
     except Exception:
         return []
-    return ["".join(c for c in link if c not in "\n\r\t") for link in links]
+    # C-speed equivalent of "".join(c for c in link if c not in '\n\r\t')
+    return [link.translate(_CTL_STRIP) for link in links]
+
+
+_CTL_STRIP = {ord("\n"): None, ord("\r"): None, ord("\t"): None}
