@@ -1,0 +1,46 @@
+"""applyInPandasWithState cross-batch politeness budget."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from warctools_spark.sources.pages import synthesize_pages
+from warctools_spark.streaming import frontier_stream as FS
+from warctools_spark.streaming.stateful import rate_limit_per_host
+
+
+def test_cross_batch_budget(spark, tmp_path):
+    # pages written as several files; maxFilesPerTrigger=1 forces
+    # multiple micro-batches so the budget must survive batch edges
+    d = str(tmp_path / "pages")
+    synthesize_pages(spark, SF_DIR).limit(200).repartition(4).write.parquet(d)
+
+    stream = FS.stream_pages(spark, d, max_files_per_trigger=1)
+    links = FS.harvest_with_event_time(stream).select(
+        "host", "canon_url", "url_sha1", "warc_ts"
+    )
+    limited = rate_limit_per_host(links, budget_per_host=7)
+    q = (
+        limited.writeStream.format("memory")
+        .queryName("rate_limit_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+    # more than one micro-batch actually ran
+    assert len(q.recentProgress) > 1
+
+    rows = spark.sql("SELECT * FROM rate_limit_test").collect()
+    assert rows
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r["host"], []).append(r["host_seq"])
+    for host, seqs in per_host.items():
+        assert len(seqs) <= 7, host  # cumulative cap across ALL batches
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))  # dense seq
+    # at least one host had candidates in multiple batches yet stayed
+    # within budget (hot host certainly did)
+    assert "hot.example.com" in per_host
+    assert len(per_host["hot.example.com"]) == 7
