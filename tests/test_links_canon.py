@@ -115,6 +115,22 @@ def test_url_sha1_stable():
     assert url_sha1("HTTP://EXAMPLE.ORG:80/a/../x") == url_sha1("http://example.org/x")
 
 
+def test_canon_parts_equals_components():
+    from warctools_spark.kernels.canon import canon_parts
+
+    urls = [
+        "HTTP://Example.ORG:80/a/../b?q=1#f",
+        "https://example.org:443/",
+        "http://example.org:8080/x",
+        "http://example.org",
+        "not a url",
+        "http://h/p/./q",
+        "ftp://odd.example/x",
+    ]
+    for u in urls:
+        assert canon_parts(u) == (canonicalize_url(u), url_sha1(u), url_host(u)), u
+
+
 def test_url_host():
     assert url_host("http://WWW.Example.Org:8080/p") == "www.example.org"
     assert url_host("not a url") == ""

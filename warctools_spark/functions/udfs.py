@@ -19,7 +19,12 @@ from pyspark.sql.functions import pandas_udf
 
 import hashlib
 
-from warctools_spark.kernels.canon import canonicalize_url, url_host, url_sha1
+from warctools_spark.kernels.canon import (
+    canon_parts,
+    canonicalize_url,
+    url_host,
+    url_sha1,
+)
 
 
 def _sha1_hex(s: str) -> str:
@@ -146,12 +151,12 @@ def udf_harvest_canon(url: pd.Series, html: pd.Series) -> pd.Series:
         for link in extract_links(u or "", res.decoded_body()):
             row = memo.get(link)
             if row is None:
-                canon = canonicalize_url(link)
+                canon, sha1, host = canon_parts(link)
                 row = {
                     "link": link,
                     "canon_url": canon,
-                    "url_sha1": _sha1_hex(canon),
-                    "host": url_host(link),
+                    "url_sha1": sha1,
+                    "host": host,
                 }
                 memo[link] = row
             rows.append(row)

@@ -74,6 +74,34 @@ def url_sha1(url: str) -> str:
 
 
 @lru_cache(maxsize=1 << 16)
+def canon_parts(url: str) -> tuple[str, str, str]:
+    """(canon_url, url_sha1, host) from ONE urlparse — the hot-path
+    variant used by the fused harvest UDF. Values are defined to equal
+    (canonicalize_url(url), url_sha1(url), url_host(url))."""
+    try:
+        p = urlparse(url.strip())
+    except ValueError:
+        c = url.strip()
+        return c, hashlib.sha1(c.encode("utf-8")).hexdigest(), ""
+    scheme = p.scheme.lower()
+    host = (p.hostname or "").lower()
+    try:
+        port = p.port
+    except ValueError:
+        port = None
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = "%s:%d" % (host, port)
+    path = squash_path(p.path)
+    if not path.startswith("/"):
+        path = "/" + path
+    canon = urlunparse((scheme, netloc, path, p.params, p.query, ""))
+    # NB: url_host() parses the RAW url; host here comes from the same
+    # raw parse, so the values agree by construction
+    return canon, hashlib.sha1(canon.encode("utf-8")).hexdigest(), host
+
+
+@lru_cache(maxsize=1 << 16)
 def url_host(url: str) -> str:
     """Lowercased host for politeness partitioning."""
     try:

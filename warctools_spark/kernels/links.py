@@ -14,6 +14,7 @@ warclinks.py:66.
 from __future__ import annotations
 
 import posixpath
+import re
 from functools import lru_cache
 from html.parser import HTMLParser
 from urllib.parse import urlparse, urlunparse
@@ -85,6 +86,19 @@ class _LinkCollector(HTMLParser):
         root = _urlparse(self.base)
         root_dir = posixpath.split(root.path)[0]
         for link in self.links:
+            # plainly-absolute fast path: http(s)://<non-empty netloc>
+            # passes the reference's `parsed.netloc` check unchanged
+            if (
+                link[:7] == "http://"
+                and len(link) > 7
+                and link[7] not in "/?#"
+            ) or (
+                link[:8] == "https://"
+                and len(link) > 8
+                and link[8] not in "/?#"
+            ):
+                full.append(link)
+                continue
             parsed = _urlparse(link)
             if not parsed.netloc:  # relative (no host)
                 if parsed.path.startswith("/"):
@@ -111,6 +125,74 @@ class _LinkCollector(HTMLParser):
         return full
 
 
+# ---- fast-path start-tag scanner ----
+#
+# HTMLParser's pure-python goahead loop dominates harvest cost
+# (~60% of the frontier epoch). For documents containing none of the
+# constructs that make HTML parsing stateful (entities, comments,
+# declarations, processing instructions, script/style rawtext), start
+# tags can be scanned directly — using html.parser's OWN tolerant
+# regexes (tagfind_tolerant / locatestarttagend_tolerant /
+# attrfind_tolerant), so tag+attribute tokenization is bit-identical.
+# Any risky byte, or any tag the regexes don't fully consume, falls
+# back to the real HTMLParser for the whole document.
+# Equality is pinned by tests/test_links_canon.py::test_fast_path_*.
+
+import html.parser as _hp
+
+_RISKY = re.compile(r"&|<!|<\?|<\s|<script|<style|\x00", re.IGNORECASE)
+
+
+def _fast_scan_starttags(body: str):
+    """Yield (tag, attrs) like HTMLParser.handle_starttag would, or
+    raise _FallBack if anything is not plainly understood."""
+    pos = 0
+    n = len(body)
+    out = []
+    while True:
+        lt = body.find("<", pos)
+        if lt < 0:
+            return out
+        nxt = body[lt + 1 : lt + 2]
+        if nxt == "/":
+            gt = body.find(">", lt)
+            if gt < 0:
+                return out  # eof in tag: HTMLParser buffers + drops it
+            pos = gt + 1
+            continue
+        if not nxt.isalpha():
+            raise _FallBack()
+        m = _hp.locatestarttagend_tolerant.match(body, lt)
+        if not m:
+            raise _FallBack()
+        endpos = m.end()
+        if body[endpos : endpos + 1] != ">" and body[endpos : endpos + 2] != "/>":
+            # ill-formed start tag -> HTMLParser's recovery quirks
+            raise _FallBack()
+        tm = _hp.tagfind_tolerant.match(body, lt + 1)
+        tag = tm.group(1).lower()
+        attrs = []
+        k = tm.end()
+        while k < endpos:
+            am = _hp.attrfind_tolerant.match(body, k)
+            if not am:
+                break
+            name, rest, value = am.group(1, 2, 3)
+            if not rest:
+                value = None
+            elif value[:1] == "'" == value[-1:] or value[:1] == '"' == value[-1:]:
+                value = value[1:-1]
+            # guard ensures no '&' anywhere, so unescape() is identity
+            attrs.append((name.lower(), value))
+            k = am.end()
+        out.append((tag, attrs))
+        pos = endpos + (1 if body[endpos : endpos + 1] == ">" else 2)
+
+
+class _FallBack(Exception):
+    pass
+
+
 def extract_links(base_url: str, body: bytes | str) -> list[str]:
     """Absolutized outlinks of one HTML document, with '\\n\\r\\t'
     stripped from each link (warclinks.py:66). Parse errors swallow the
@@ -122,8 +204,17 @@ def extract_links(base_url: str, body: bytes | str) -> list[str]:
             body = bytes(body).decode("latin-1")
     try:
         collector = _LinkCollector(base_url)
-        collector.feed(body)
-        collector.close()
+        if _RISKY.search(body) is None:
+            try:
+                for tag, attrs in _fast_scan_starttags(body):
+                    collector.handle_starttag(tag, attrs)
+            except _FallBack:
+                collector = _LinkCollector(base_url)
+                collector.feed(body)
+                collector.close()
+        else:
+            collector.feed(body)
+            collector.close()
         links = collector.abs_links()
     except Exception:
         return []
