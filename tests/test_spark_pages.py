@@ -131,6 +131,22 @@ def test_bloom_two_tier_exactness(pages, spark):
     assert a == b  # zero false dedups, zero leaks
 
 
+def test_bloom_incremental_union(pages, spark):
+    """Bloom(A) | Bloom(B) must behave exactly like Bloom(A ∪ B) —
+    the incremental maintenance path for an append-only seen set."""
+    links = FR.canonicalized(FR.harvest_links(pages)).select("url_sha1").distinct().cache()
+    a = links.where(F.col("url_sha1").substr(1, 1) < "8")
+    b = links.where(F.col("url_sha1").substr(1, 1) >= "8")
+    m, k = 1 << 16, 5
+    ba = SEEN.build_bloom(a, n_buckets=4, m_bits=m, k_hashes=k)
+    bb = SEEN.build_bloom(b, n_buckets=4, m_bits=m, k_hashes=k)
+    merged = SEEN.union_blooms(ba, bb)
+    full = SEEN.build_bloom(links, n_buckets=4, m_bits=m, k_hashes=k)
+    got = {r["bucket"]: bytes(r["bits"]) for r in merged.collect()}
+    want = {r["bucket"]: bytes(r["bits"]) for r in full.collect()}
+    assert got == want
+
+
 def test_bloom_determinism(pages, spark):
     links = FR.canonicalized(FR.harvest_links(pages.limit(50)))
     keys = links.select("url_sha1").distinct()

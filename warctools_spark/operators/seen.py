@@ -95,6 +95,41 @@ def build_bloom(
     )
 
 
+def union_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise-OR merge of two Bloom tables built with the same
+    (n_buckets, m, k, version): Bloom union == set union, so the seen
+    filter can be maintained INCREMENTALLY — build a small Bloom over
+    each epoch's fresh URLs and OR it in, instead of rebuilding over
+    10^10 keys every epoch."""
+    import pandas as pd
+
+    both = a.unionByName(b)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (
+            pdf["m"].nunique() > 1
+            or pdf["k"].nunique() > 1
+            or pdf["version"].nunique() > 1
+        ):
+            raise ValueError("bloom parameter mismatch; cannot union")
+        bits = np.zeros(len(pdf["bits"].iloc[0]), dtype=np.uint8)
+        for b_ in pdf["bits"]:
+            bits |= np.frombuffer(b_, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "m": [int(pdf["m"].iloc[0])],
+                "k": [int(pdf["k"].iloc[0])],
+                "version": [int(pdf["version"].iloc[0])],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    return both.groupBy("bucket").applyInPandas(
+        merge, "bucket int, m int, k int, version int, bits binary"
+    )
+
+
 def probe(
     spark: SparkSession, candidates: DataFrame, bloom: DataFrame, n_buckets: int
 ) -> DataFrame:
