@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1])
 pages_path = sys.argv[2]
-spark = get_spark(app="scaling", master=f"local[{cpus}]", shuffle_partitions=cpus)
+# shuffle partitioning held CONSTANT across cluster sizes (as it would
+# be on a real cluster comparison) — only the executor core count
+# varies; otherwise the small run measures spill, not scaling
+spark = get_spark(app="scaling", master=f"local[{cpus}]", shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 
 from warctools_spark.operators.frontier import (
