@@ -1,0 +1,177 @@
+"""Property-based tests (hypothesis): randomized WARC round-trips,
+randomized HTTP payload differentials vs the reference, and
+canonicalization invariants."""
+
+import gzip
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import reference_available
+from warctools_spark.kernels.canon import canon_parts, canonicalize_url
+from warctools_spark.kernels.http_decode import decode_http
+from warctools_spark.kernels.warc_parse import parse_archive
+from warctools_spark.kernels.warc_write import write_warc_record
+
+header_name = st.text(
+    alphabet=string.ascii_letters + "-", min_size=1, max_size=20
+).map(lambda s: s.encode())
+header_value = st.text(
+    alphabet=string.ascii_letters + string.digits + " :/._<>@-", max_size=60
+).map(lambda s: s.strip().encode())
+body_bytes = st.binary(max_size=2000)
+
+record_strategy = st.tuples(
+    st.lists(st.tuples(header_name, header_value), min_size=1, max_size=8),
+    st.sampled_from(
+        [b"application/http;msgtype=response", b"text/plain", b"", None]
+    ),
+    body_bytes,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(record_strategy, min_size=1, max_size=5), st.booleans())
+def test_warc_write_parse_roundtrip(records, gz):
+    """serialize(records) |> parse == records, for any headers/body,
+    plain and per-record-gzip."""
+    blobs = []
+    expected = []
+    for headers, ctype, body in records:
+        # the writer drops supplied Content-Type/Length (exact-name
+        # match) and re-derives them — mirror that in the expectation
+        kept = [
+            (k, v)
+            for k, v in headers
+            if k not in (b"Content-Type", b"Content-Length")
+        ]
+        blobs.append(
+            write_warc_record(headers, ctype, body, gzip_record=gz)
+        )
+        expected.append((kept, ctype if ctype else None, body))
+    data = b"".join(blobs)
+    rows = parse_archive(data, fmt="warc")
+    assert len(rows) == len(expected)
+    for row, (kept, ctype, body) in zip(rows, expected):
+        assert row.errors == []
+        assert row.content == body
+        assert row.content_length == len(body)
+        if ctype:
+            assert row.content_type == ctype
+        # every kept header present with its value (order preserved,
+        # plus the derived Content-Type/Length at the end)
+        parsed_pairs = row.headers[: len(kept)]
+        assert parsed_pairs == [(k, v) for k, v in kept]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_parse_archive_never_raises(junk):
+    """Arbitrary bytes: errors become rows, never exceptions."""
+    rows = parse_archive(junk)
+    for r in rows:
+        assert isinstance(r.errors, list)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_decode_http_never_raises(junk):
+    res = decode_http(junk)
+    assert res.mode in ("start", "headers", "body", "end", "incomplete")
+    res.get_decoded_message()
+    res.decoded_body()
+
+
+status = st.integers(min_value=100, max_value=599)
+hval = st.text(alphabet=string.ascii_letters + string.digits + " ;=/-", max_size=30)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not importable")
+@settings(max_examples=120, deadline=None)
+@given(
+    status,
+    st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["Content-Type", "X-Custom", "Server", "Content-Encoding"]
+            ),
+            hval,
+        ),
+        max_size=4,
+    ),
+    st.binary(max_size=300),
+    st.sampled_from(["length", "chunked", "close", "gzip"]),
+)
+def test_http_differential_random(code, headers, body, framing):
+    """Random well-formed-ish responses: our batch decode must agree
+    with the reference push parser on complete/body/decoded output."""
+    from hanzo.httptools.messaging import RequestMessage, ResponseMessage
+
+    lines = [b"HTTP/1.1 %d SomePhrase" % code]
+    for k, v in headers:
+        lines.append(("%s: %s" % (k, v)).encode())
+    if framing == "length":
+        lines.append(b"Content-Length: %d" % len(body))
+        payload = b"\r\n".join(lines) + b"\r\n\r\n" + body
+    elif framing == "chunked":
+        lines.append(b"Transfer-Encoding: chunked")
+        chunked = b""
+        for i in range(0, len(body), 77):
+            c = body[i : i + 77]
+            chunked += b"%x\r\n%s\r\n" % (len(c), c)
+        chunked += b"0\r\n\r\n"
+        payload = b"\r\n".join(lines) + b"\r\n\r\n" + chunked
+    elif framing == "gzip":
+        gz = gzip.compress(body, mtime=0)
+        lines.append(b"Content-Encoding: gzip")
+        lines.append(b"Content-Length: %d" % len(gz))
+        payload = b"\r\n".join(lines) + b"\r\n\r\n" + gz
+    else:
+        payload = b"\r\n".join(lines) + b"\r\n\r\n" + body
+
+    try:
+        ref = ResponseMessage(RequestMessage())
+        leftover = ref.feed(payload)
+        ref.close()
+    except Exception:
+        decode_http(payload)  # must not raise where reference does
+        return
+    ours = decode_http(payload)
+    assert ours.complete == ref.complete()
+    assert ours.body == ref.get_body()
+    if ref.complete():
+        assert ours.get_decoded_message() == ref.get_decoded_message()
+
+
+url_path = st.text(
+    alphabet=string.ascii_lowercase + string.digits + "/._-", max_size=40
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(["http", "https", "HTTP", "Https"]),
+    st.text(alphabet=string.ascii_letters + string.digits + ".-", min_size=1, max_size=20),
+    st.one_of(st.none(), st.integers(min_value=1, max_value=65535)),
+    url_path,
+    st.text(alphabet=string.ascii_lowercase + "=&", max_size=15),
+)
+def test_canonicalization_idempotent_and_consistent(scheme, host, port, path, query):
+    url = "%s://%s%s/%s%s" % (
+        scheme,
+        host,
+        ":%d" % port if port else "",
+        path,
+        "?" + query if query else "",
+    )
+    c = canonicalize_url(url)
+    # idempotent
+    assert canonicalize_url(c) == c
+    # canon_parts agrees with the component functions
+    from warctools_spark.kernels.canon import url_host, url_sha1
+
+    assert canon_parts(url) == (c, url_sha1(url), url_host(url))
+    # fragment-free, lowercase scheme+host
+    assert "#" not in c

@@ -485,7 +485,10 @@ def decode_http(
     if not isinstance(payload, (bytes, bytearray)):
         payload = bytes(payload)
     res = _parse_one(bytes(payload), kind, ignore_headers, request_method)
-    if kind == "response" and res.complete and res.code == 100 and res.leftover:
+    if kind == "response" and res.complete and res.code == 100:
+        # the reference resets unconditionally on an interim 100
+        # (messaging.py:653-659): with no following message the result
+        # is an INCOMPLETE parser waiting at 'start', not the 100
         nxt = _parse_one(res.leftover, kind, ignore_headers, request_method)
         nxt.got_continue = True
         return nxt
