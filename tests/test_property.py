@@ -145,6 +145,68 @@ def test_http_differential_random(code, headers, body, framing):
         assert ours.get_decoded_message() == ref.get_decoded_message()
 
 
+terminators = st.lists(
+    st.sampled_from([b"\r\n", b"\n", b"\r"]), min_size=1, max_size=5
+).map(b"".join).filter(lambda t: t.endswith((b"\n",)))
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not importable")
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(
+                        [b"WARC-Type", b"WARC-Record-ID", b"WARC-Target-URI", b"X-H"]
+                    ),
+                    st.text(
+                        alphabet=string.ascii_letters + string.digits + ":/<>-.",
+                        max_size=30,
+                    ).map(lambda s: s.encode()),
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+            st.binary(max_size=500),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    terminators,
+)
+def test_warc_parse_differential_random(records, term):
+    """Random WARC files (our writer + random inter-record
+    terminators): our parser must agree with the reference parser on
+    offsets, headers, types and content."""
+    from io import BytesIO
+
+    from hanzo import warctools
+
+    blobs = []
+    for headers, body in records:
+        blobs.append(write_warc_record(headers, b"text/x", body))
+    data = b"".join(b + term for b in blobs)
+
+    fh = warctools.ArchiveRecord.open_archive(file_handle=BytesIO(data))
+    ref_rows = []
+    try:
+        for offset, record, errors in fh.read_records(limit=None, offsets=True):
+            if record is not None:
+                ref_rows.append(
+                    (offset, list(record.headers), record.content[1])
+                )
+    except Exception:
+        parse_archive(data, fmt="warc")  # we must not raise
+        return
+    ours = [r for r in parse_archive(data, fmt="warc") if not r.errors or r.headers]
+    assert len(ours) == len(ref_rows)
+    for mine, (off, headers, content) in zip(ours, ref_rows):
+        assert mine.offset == off
+        assert mine.headers == headers
+        assert mine.content == content
+
+
 url_path = st.text(
     alphabet=string.ascii_lowercase + string.digits + "/._-", max_size=40
 )
