@@ -392,19 +392,31 @@ def _iter_plain(data: bytes, fmt: str, offsets_valid: bool = True):
         yield row
 
 
-def split_gzip_members(data: bytes):
+def split_gzip_members(data: bytes, errors: list | None = None):
     """Split a concatenation of gzip members; yields
     (raw_offset, decompressed_bytes) per member. Mirrors what
-    GeeZipFile's member_offset hook observes (stream.py:183-204)."""
+    GeeZipFile's member_offset hook observes (stream.py:183-204).
+    Truncation/corruption appends to `errors` (decompressobj swallows
+    truncated streams silently — d.eof is the real signal)."""
     pos = 0
     n = len(data)
     while pos < n:
         if data[pos : pos + 2] != GZIP_MAGIC:
+            if errors is not None:
+                errors.append("trailing non-gzip bytes at offset %d" % pos)
             break
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
             out = d.decompress(data[pos:])
         except zlib.error:
+            if errors is not None:
+                errors.append("corrupt gzip member at offset %d" % pos)
+            break
+        if not d.eof:
+            if errors is not None:
+                errors.append("truncated gzip member at offset %d" % pos)
+            if out:
+                yield pos, out
             break
         consumed = len(data) - pos - len(d.unused_data)
         yield pos, out
@@ -444,10 +456,20 @@ def parse_archive(data: bytes, fmt: str = "auto", gzip_mode: str = "auto"):
         # member offsets are the raw file offsets (stream.py:213-229);
         # records may span members, so parse the concatenated
         # decompressed stream and map record starts back to members
-        members = list(split_gzip_members(data))
+        gz_errors: list = []
+        members = list(split_gzip_members(data, gz_errors))
         if not members:
             return [
-                RecordRow(0, "warc", None, [], None, None, b"", ["bad gzip data"])
+                RecordRow(
+                    0,
+                    "warc",
+                    None,
+                    [],
+                    None,
+                    None,
+                    b"",
+                    gz_errors or ["bad gzip data"],
+                )
             ]
         joined = b"".join(m[1] for m in members)
         # decompressed-start -> raw member offset
@@ -469,6 +491,10 @@ def parse_archive(data: bytes, fmt: str = "auto", gzip_mode: str = "auto"):
                         break
             row.offset = raw
             rows.append(row)
+        if gz_errors:
+            rows.append(
+                RecordRow(None, fmt, None, [], None, None, b"", gz_errors)
+            )
         return rows
 
     if gzip_mode == "file":
