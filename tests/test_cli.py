@@ -1,0 +1,93 @@
+"""CLI parity smoke tests (subprocess — the real user surface)."""
+
+import gzip
+import io
+import subprocess
+import sys
+
+import pytest
+
+REPO = "/root/repo"
+
+HTTP = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: 50\r\n\r\n"
+    b'<html><a href="http://x.example/next.html">n</a></html>'
+)
+HTTP = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+    + str(len(b'<html><a href="http://x.example/next.html">n</a></html>')).encode()
+    + b"\r\n\r\n"
+    + b'<html><a href="http://x.example/next.html">n</a></html>'
+)
+
+RECORD = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-00000000cli1>\r\n"
+    b"WARC-Date: 2013-11-15T00:00:00Z\r\n"
+    b"WARC-Target-URI: http://a.example/page.html\r\n"
+    b"Content-Type: application/http;msgtype=response\r\n"
+    b"Content-Length: " + str(len(HTTP)).encode() + b"\r\n\r\n" + HTTP + b"\r\n\r\n"
+)
+
+
+@pytest.fixture(scope="module")
+def warc_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    f = d / "t.warc"
+    f.write_bytes(RECORD)
+    return str(f)
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "warctools_spark.cli", "--cpus", "2", *args],
+        capture_output=True,
+        cwd=REPO,
+        timeout=300,
+    )
+
+
+def test_warcindex_cli(warc_file):
+    r = run_cli("warcindex", warc_file)
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = r.stdout.decode().strip().splitlines()
+    assert lines[0].startswith("#WARC filename offset")
+    assert "http://a.example/page.html" in lines[1]
+    assert " response " in lines[1]
+
+
+def test_warcfilter_cli(warc_file):
+    r = run_cli("warcfilter", "-U", "a.example", warc_file)
+    assert r.returncode == 0
+    assert r.stdout.startswith(b"WARC/1.0\r\n")
+    r2 = run_cli("warcfilter", "-U", "-i", "a.example", warc_file)
+    assert r2.stdout == b""
+
+
+def test_warcvalid_cli(warc_file, tmp_path):
+    assert run_cli("warcvalid", warc_file).returncode == 0
+    bad = tmp_path / "bad.warc"
+    bad.write_bytes(b"not a warc\n" * 10)
+    assert run_cli("warcvalid", str(bad)).returncode != 0
+
+
+def test_warclinks_cli(warc_file):
+    r = run_cli("warclinks", warc_file)
+    assert r.returncode == 0
+    assert b"http://x.example/next.html" in r.stdout
+
+
+def test_warc2warc_cli(warc_file, tmp_path):
+    out = tmp_path / "out.warc"
+    r = run_cli("warc2warc", "-D", "-o", str(out), warc_file)
+    assert r.returncode == 0, r.stderr[-500:]
+    data = out.read_bytes()
+    assert data.startswith(b"WARC/1.0\r\n")
+    assert b'<a href="http://x.example/next.html">' in data
+
+
+def test_warcextract_cli(warc_file):
+    r = run_cli("warcextract", warc_file, "0")
+    assert r.returncode == 0
+    assert r.stdout == HTTP

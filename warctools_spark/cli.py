@@ -1,0 +1,298 @@
+"""CLI parity with the reference tool suite, Spark-powered.
+
+    python -m warctools_spark.cli <tool> [options] <input...>
+
+tools (1:1 with the reference commands):
+  warcindex   <warcs...>                  index lines to stdout
+  warcfilter  [-U|-T|-C|-H|-D] [-i] <pattern> <warcs...>
+  warcvalid   <warcs...>                  exit 0 iff all records valid
+  warcdump    <warcs...>                  human-readable record dump
+  warc2warc   [-D] [-Z] -o OUT <warcs...> rewrite (decode http, gzip)
+  arc2warc    -o OUT <arcs...>            convert ARC -> WARC records
+  warclinks   <warcs...>                  harvested outlinks to stdout
+  warcextract <warc> <offset>             one record's payload to stdout
+  warcunpack  <warcs...>                  unpack log (path, wayback uri)
+
+Outputs are driven through the same DataFrame operators the engine
+uses at cluster scale; stdout rendering mirrors the reference formats
+(e.g. warcindex.py:35-49 field order, '-' for missing values).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cpus: str = "*"):
+    from warctools_spark.session import get_spark
+
+    spark = get_spark(app="warctools_spark_cli", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _records(spark, paths, fmt="auto"):
+    from warctools_spark.sources.warc import read_warc
+
+    return read_warc(spark, paths, fmt=fmt)
+
+
+def cmd_warcindex(args):
+    from warctools_spark.operators.archive_ops import warc_index
+
+    spark = _spark(args.cpus)
+    out = sys.stdout
+    out.write(
+        "#WARC filename offset warc-type warc-subject-uri warc-record-id "
+        "content-type content-length\n"
+    )
+    for r in warc_index(_records(spark, args.inputs)).orderBy(
+        "filename", "offset"
+    ).toLocalIterator():
+        out.write(
+            "%s %s %s %s %s %s %s\n"
+            % (
+                r["filename"],
+                r["offset"],
+                r["warc_type"],
+                r["warc_subject_uri"],
+                r["warc_record_id"],
+                r["content_type"],
+                r["content_length"],
+            )
+        )
+    return 0
+
+
+def cmd_warcfilter(args):
+    from warctools_spark.operators.archive_ops import warc_filter
+
+    mode = "any"
+    if args.url:
+        mode = "url"
+    elif args.type:
+        mode = "type"
+    elif args.content_type:
+        mode = "content_type"
+    elif args.http_content_type:
+        mode = "http_content_type"
+    elif args.warc_date:
+        mode = "warc_date"
+    spark = _spark(args.cpus)
+    hits = warc_filter(
+        _records(spark, args.inputs), args.pattern, mode=mode, invert=args.invert
+    )
+    from warctools_spark.functions.udfs import udf_write_warc
+    from pyspark.sql import functions as F
+
+    recs = hits.select(
+        udf_write_warc(
+            F.col("record_id"),
+            F.col("record_type"),
+            F.col("url"),
+            F.col("warc_date"),
+            F.col("content_type"),
+            F.col("content"),
+            F.lit(False),
+        ).alias("rb")
+    )
+    for r in recs.toLocalIterator():
+        sys.stdout.buffer.write(bytes(r["rb"]))
+    return 0
+
+
+def cmd_warcvalid(args):
+    from warctools_spark.operators.archive_ops import warc_valid
+
+    spark = _spark(args.cpus)
+    bad = warc_valid(_records(spark, args.inputs)).collect()
+    for r in bad:
+        print(
+            "warc errors at %s:%s %s" % (r["source_file"], r["offset"], r["errors"]),
+            file=sys.stderr,
+        )
+    return 0 if not bad else -1
+
+
+def cmd_warcdump(args):
+    from warctools_spark.operators.unpack import record_summary
+
+    spark = _spark(args.cpus)
+    for r in record_summary(_records(spark, args.inputs)).orderBy(
+        "source_file", "offset"
+    ).toLocalIterator():
+        print("archive record at %s:%s" % (r["source_file"], r["offset"]))
+        print(r["header_text"])
+        if r["content_preview"]:
+            print("\t" + r["content_preview"][:200])
+        print()
+    return 0
+
+
+def cmd_warc2warc(args):
+    from warctools_spark.operators.archive_ops import warc2warc_decode
+
+    spark = _spark(args.cpus)
+    recs = _records(spark, args.inputs)
+    if not args.decode_http:
+        from warctools_spark.functions.udfs import udf_write_warc
+        from pyspark.sql import functions as F
+
+        out_df = recs.withColumn(
+            "record_bytes",
+            udf_write_warc(
+                F.col("record_id"),
+                F.col("record_type"),
+                F.col("url"),
+                F.col("warc_date"),
+                F.col("content_type"),
+                F.col("content"),
+                F.lit(bool(args.gzip)),
+            ),
+        )
+    else:
+        out_df = warc2warc_decode(recs, gzip_output=bool(args.gzip))
+    sink = open(args.output, "wb") if args.output else sys.stdout.buffer
+    for r in out_df.orderBy("source_file", "offset").toLocalIterator():
+        sink.write(bytes(r["record_bytes"]))
+    if args.output:
+        sink.close()
+    return 0
+
+
+def cmd_arc2warc(args):
+    from pyspark.sql import functions as F
+
+    from warctools_spark.functions.udfs import udf_write_warc
+    from warctools_spark.operators.arc2warc import arc_to_warc
+
+    spark = _spark(args.cpus)
+    conv = arc_to_warc(_records(spark, args.inputs))
+    out_df = conv.withColumn(
+        "record_bytes",
+        udf_write_warc(
+            F.col("warc_id"),
+            F.col("warc_type"),
+            F.col("url"),
+            F.col("warc_date_out"),
+            F.col("content_type_out"),
+            F.col("content"),
+            F.lit(bool(args.gzip)),
+        ),
+    )
+    sink = open(args.output, "wb") if args.output else sys.stdout.buffer
+    for r in out_df.orderBy("source_file", "offset").toLocalIterator():
+        sink.write(bytes(r["record_bytes"]))
+    if args.output:
+        sink.close()
+    return 0
+
+
+def cmd_warclinks(args):
+    from warctools_spark.operators.archive_ops import records_to_pages
+    from warctools_spark.operators.frontier import harvest_links
+
+    spark = _spark(args.cpus)
+    pages = records_to_pages(_records(spark, args.inputs))
+    for r in harvest_links(pages).toLocalIterator():
+        print(r["link"])
+    return 0
+
+
+def cmd_warcextract(args):
+    from warctools_spark.operators.unpack import extract_payload
+
+    spark = _spark(args.cpus)
+    recs = _records(spark, [args.input])
+    src = recs.select("source_file").first()["source_file"]
+    rows = extract_payload(recs, src, int(args.offset)).collect()
+    if not rows:
+        print("no record at offset %s" % args.offset, file=sys.stderr)
+        return -1
+    sys.stdout.buffer.write(bytes(rows[0]["content"]))
+    return 0
+
+
+def cmd_warcunpack(args):
+    from pyspark.sql import functions as F
+
+    from warctools_spark.operators.archive_ops import http_triage
+    from warctools_spark.operators.unpack import unpack_log
+
+    spark = _spark(args.cpus)
+    recs = _records(spark, args.inputs)
+    triaged = http_triage(recs).join(
+        recs.select("source_file", "offset", "warc_date"),
+        on=["source_file", "offset"],
+    )
+    log = unpack_log(triaged, collection_id=args.collection or "")
+    for r in log.orderBy("source_file", "offset").toLocalIterator():
+        print(
+            "%s %s %s %s"
+            % (r["url"], r["mime"], r["out_path"], r["wayback_uri"] or "-")
+        )
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="warctools_spark", description=__doc__)
+    p.add_argument("--cpus", default="*", help="local[N] cores")
+    sub = p.add_subparsers(dest="tool", required=True)
+
+    s = sub.add_parser("warcindex")
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_warcindex)
+
+    s = sub.add_parser("warcfilter")
+    s.add_argument("-U", "--url", action="store_true")
+    s.add_argument("-T", "--type", action="store_true")
+    s.add_argument("-C", "--content-type", dest="content_type", action="store_true")
+    s.add_argument("-H", "--http-content-type", dest="http_content_type", action="store_true")
+    s.add_argument("-D", "--warc-date", dest="warc_date", action="store_true")
+    s.add_argument("-i", "--invert", action="store_true")
+    s.add_argument("pattern")
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_warcfilter)
+
+    s = sub.add_parser("warcvalid")
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_warcvalid)
+
+    s = sub.add_parser("warcdump")
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_warcdump)
+
+    s = sub.add_parser("warc2warc")
+    s.add_argument("-D", "--decode_http", action="store_true")
+    s.add_argument("-Z", "--gzip", action="store_true")
+    s.add_argument("-o", "--output")
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_warc2warc)
+
+    s = sub.add_parser("arc2warc")
+    s.add_argument("-Z", "--gzip", action="store_true")
+    s.add_argument("-o", "--output")
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_arc2warc)
+
+    s = sub.add_parser("warclinks")
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_warclinks)
+
+    s = sub.add_parser("warcextract")
+    s.add_argument("input")
+    s.add_argument("offset")
+    s.set_defaults(fn=cmd_warcextract)
+
+    s = sub.add_parser("warcunpack")
+    s.add_argument("--collection")
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_warcunpack)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
