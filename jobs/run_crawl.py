@@ -29,55 +29,41 @@ def main():
     from pyspark.sql import SparkSession
 
     from warctools_spark.plans.catalog import Catalog
-    from warctools_spark.plans.epoch import (
-        init_state,
-        partition_lineage,
-        resume_state,
-        run_epoch,
-    )
+    from warctools_spark.plans.epoch import resume_state, run_crawl
 
     spark = SparkSession.builder.appName("warctools_spark_crawl").getOrCreate()
     pages = spark.read.parquet(args.pages)
     catalog = Catalog(args.catalog, n_buckets=args.n_buckets)
 
     resumed = resume_state(spark, catalog)
+    initial_state = None
+    seeds = None
+    start_epoch = 0
     if resumed is not None:
-        start_epoch, queue, seen = resumed
-        start_epoch += 1
-        print(json.dumps({"resumed_from_epoch": start_epoch - 1}))
+        last_epoch, queue, seen = resumed
+        start_epoch = last_epoch + 1
+        initial_state = (queue, seen)
+        print(json.dumps({"resumed_from_epoch": last_epoch}))
     else:
         if args.seeds.endswith(".parquet"):
             seeds = spark.read.parquet(args.seeds)
         else:
             seeds = spark.read.text(args.seeds).withColumnRenamed("value", "url")
-        queue, seen = init_state(seeds)
-        start_epoch = 0
 
-    for e in range(start_epoch, start_epoch + args.epochs):
-        result = run_epoch(
-            spark,
-            pages,
-            queue,
-            seen,
-            epoch=e,
-            k_per_host=args.k_per_host,
-            use_bloom=args.bloom,
-            hot_host_threshold=args.hot_host_threshold,
-            n_buckets=args.n_buckets,
-        )
-        queue, seen = result.queue, result.seen
-        tables = [
-            catalog.write_table(result.schedule, "schedule", e),
-            catalog.write_table(queue, "queue", e),
-            catalog.write_table(seen, "seen", e, bucket_col=None),
-        ]
-        result.metrics["lineage"] = partition_lineage(result.schedule)
-        catalog.commit(e, tables, result.metrics)
-        queue = catalog.read_table(spark, "queue", e)
-        seen = catalog.read_table(spark, "seen", e).select("url_sha1")
-        print(json.dumps(result.metrics))
-        if result.metrics["queue_size"] == 0:
-            break
+    metrics = run_crawl(
+        spark,
+        pages,
+        seeds,
+        epochs=args.epochs,
+        k_per_host=args.k_per_host,
+        catalog=catalog,
+        use_bloom=args.bloom,
+        hot_host_threshold=args.hot_host_threshold,
+        start_epoch=start_epoch,
+        initial_state=initial_state,
+    )
+    for m in metrics:
+        print(json.dumps(m))
 
     spark.stop()
 

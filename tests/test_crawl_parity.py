@@ -76,6 +76,8 @@ def test_checkpoint_resume_exact(spark, pages, seeds, tmp_path):
     )
     assert len(metrics) == 2
     assert cat.latest_epoch() == 1
+    # append-only seen storage: epoch 1 carries two delta parts
+    assert len(cat.seen_parts(1)) == 2
     resumed = resume_state(spark, cat)
     assert resumed is not None
     e, queue, seen = resumed
@@ -100,6 +102,31 @@ def test_checkpoint_resume_exact(spark, pages, seeds, tmp_path):
         r["canon_url"] for r in res_b.schedule.select("canon_url").collect()
     )
     assert sched_resumed == sched_mem
+
+
+def test_seen_delta_compaction(spark, pages, seeds, tmp_path):
+    """compact_every folds deltas into one base; crawl continues
+    identically from either representation."""
+    seed_df, _ = seeds
+    cat_a = Catalog(str(tmp_path / "a"), n_buckets=8)
+    cat_b = Catalog(str(tmp_path / "b"), n_buckets=8)
+    m_a = run_crawl(
+        spark, pages, seed_df, epochs=3, k_per_host=K, catalog=cat_a,
+        compact_every=2,
+    )
+    m_b = run_crawl(
+        spark, pages, seed_df, epochs=3, k_per_host=K, catalog=cat_b,
+        compact_every=100,
+    )
+    # compaction after epoch 1: base + epoch-2 delta = 2 parts
+    assert len(cat_a.seen_parts(2)) == 2
+    assert len(cat_b.seen_parts(2)) == 3  # never compacted
+    sa = resume_state(spark, cat_a)[2]
+    sb = resume_state(spark, cat_b)[2]
+    assert sorted(r["url_sha1"] for r in sa.collect()) == sorted(
+        r["url_sha1"] for r in sb.collect()
+    )
+    assert [m["seen_size"] for m in m_a] == [m["seen_size"] for m in m_b]
 
 
 def test_engine_matches_simulator_with_robots(spark, pages, seeds):

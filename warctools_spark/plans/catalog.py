@@ -72,6 +72,15 @@ class Catalog:
             json.dump(manifest, f, indent=2)
         os.replace(tmp, self.manifest_path(epoch))
 
+    def seen_parts(self, epoch: int) -> list[str]:
+        """The parquet paths whose union is the seen set at `epoch`
+        (append-only deltas + compaction bases, recorded per manifest).
+        epoch < 0 -> [] (crawl start)."""
+        if epoch < 0:
+            return []
+        m = self.read_manifest(epoch)
+        return list(m["metrics"].get("seen_parts", []))
+
     # ---- bucketed tables (storage-partitioned joins) ----
     def write_bucketed_table(
         self,

@@ -66,6 +66,7 @@ class EpochResult:
     queue: DataFrame
     seen: DataFrame
     metrics: dict
+    fresh_seen: DataFrame = None  # this epoch's NEW keys (delta)
 
 
 def run_epoch(
@@ -166,7 +167,9 @@ def run_epoch(
         "seen_size": seen_next.count(),
         "wall_s": time.time() - t0,
     }
-    return EpochResult(epoch, schedule, queue_next, seen_next, metrics)
+    return EpochResult(
+        epoch, schedule, queue_next, seen_next, metrics, fresh.select("url_sha1")
+    )
 
 
 def partition_lineage(df: DataFrame) -> list[dict]:
@@ -190,12 +193,25 @@ def run_crawl(
     catalog: Catalog | None = None,
     use_bloom: bool = False,
     hot_host_threshold: int | None = None,
+    compact_every: int = 8,
+    start_epoch: int = 0,
+    initial_state: tuple[DataFrame, DataFrame] | None = None,
 ) -> list[dict]:
     """Multi-epoch crawl loop with optional snapshot checkpointing.
-    Returns per-epoch metrics."""
-    queue, seen = init_state(seeds)
+
+    Seen-set storage is APPEND-ONLY: each epoch commits only its fresh
+    keys as a delta (at 10^10 keys a full rewrite per epoch would be
+    the dominant cost, SCALE.md); every `compact_every` epochs the
+    deltas fold into a new base. The manifest records exactly which
+    parts constitute seen@epoch, so resume is exact. Pass
+    (start_epoch, initial_state) from resume_state() to continue a
+    checkpointed crawl. Returns per-epoch metrics."""
+    if initial_state is not None:
+        queue, seen = initial_state
+    else:
+        queue, seen = init_state(seeds)
     all_metrics = []
-    for e in range(epochs):
+    for e in range(start_epoch, start_epoch + epochs):
         result = run_epoch(
             spark,
             pages,
@@ -207,20 +223,39 @@ def run_crawl(
             use_bloom=use_bloom,
             hot_host_threshold=hot_host_threshold,
         )
-        queue, seen = result.queue, result.seen
+        queue = result.queue
         if catalog is not None:
+            # delta = what this epoch added to seen; epoch 0 also owns
+            # the seed keys so the union of deltas IS the seen set
+            delta = result.fresh_seen
+            if e == 0:
+                delta = seen.unionByName(delta)
             tables = [
                 catalog.write_table(result.schedule, "schedule", e),
                 catalog.write_table(queue, "queue", e),
-                catalog.write_table(seen, "seen", e, bucket_col=None),
+                catalog.write_table(delta, "seen_delta", e, bucket_col=None),
             ]
+            compacted = (e + 1) % compact_every == 0
+            # seen parts for this epoch = previous parts + this delta,
+            # or a fresh base after compaction
+            prev_parts = catalog.seen_parts(e - 1)
+            parts = prev_parts + [catalog.table_path("seen_delta", e)]
+            if compacted:
+                seen_full = spark.read.parquet(*parts).select("url_sha1").distinct()
+                tables.append(
+                    catalog.write_table(seen_full, "seen_base", e, bucket_col=None)
+                )
+                parts = [catalog.table_path("seen_base", e)]
             result.metrics["lineage"] = partition_lineage(result.schedule)
+            result.metrics["seen_parts"] = parts
             catalog.commit(e, tables, result.metrics)
             # read back the committed snapshot so each epoch's lineage
             # is cut off from the previous epoch's lazy plan (bounded
             # plan depth — crucial for long crawls)
             queue = catalog.read_table(spark, "queue", e)
-            seen = catalog.read_table(spark, "seen", e).select("url_sha1")
+            seen = spark.read.parquet(*parts).select("url_sha1")
+        else:
+            seen = result.seen
         all_metrics.append(result.metrics)
         if result.metrics["queue_size"] == 0:
             break
@@ -230,10 +265,13 @@ def run_crawl(
 def resume_state(
     spark: SparkSession, catalog: Catalog
 ) -> tuple[int, DataFrame, DataFrame] | None:
-    """Latest committed (epoch, queue, seen) — exact resume point."""
+    """Latest committed (epoch, queue, seen) — exact resume point.
+    `seen` is reconstructed from the manifest's seen parts (base +
+    deltas)."""
     e = catalog.latest_epoch()
     if e is None:
         return None
     queue = catalog.read_table(spark, "queue", e)
-    seen = catalog.read_table(spark, "seen", e).select("url_sha1")
+    parts = catalog.seen_parts(e)
+    seen = spark.read.parquet(*parts).select("url_sha1")
     return e, queue, seen
