@@ -123,36 +123,11 @@ def main():
     }
     print(json.dumps(result))
 
-    md = f"""# BENCH — measured numbers
-
-## Frontier-epoch throughput + two-cluster-size scaling (north_rule)
-
-Same job (harvest -> canonicalize -> sha1 -> within-epoch dedup ->
-seen anti-join -> politeness top-k) on the same input
-({r_low["urls"]} candidate urls from {r_low["urls"] // 8} pages,
-deterministic corpus at {sf_dir}, expand={expand}),
-run at two parallelism levels in separate JVMs (min of 2 timed runs
-after warmup):
-
-| parallelism | wall (s) | urls/sec |
-|---|---|---|
-| local[{low}] | {r_low["wall_s"]} | {r_low["urls_per_sec"]} |
-| local[{high}] | {r_high["wall_s"]} | {r_high["urls_per_sec"]} |
-
-- speedup {low}->{high} cores: **{speedup:.2f}x** (core ratio {high // low}x)
-- scaling efficiency = (tput_{high} / tput_{low}) / {high // low} =
-  **{efficiency:.3f}** (target >= 0.8)
-
-Reproduce: `python tools/scaling_bench.py {low} {high} {expand}`
-
-## Headline bench (driver-run `bench.py`)
-
-See BENCH_r*.json recorded per round. Reference repo publishes no
-numbers (README.md:189-190); targets come from BASELINE.json.
-"""
+    out_json = REPO / "BENCH" / ("scaling_%d_%d.json" % (low, high))
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
-    print("wrote BENCH/BASELINE.md")
+    out_json.write_text(json.dumps(result, indent=2))
+    print("wrote", out_json)
+    print("NOTE: update BENCH/BASELINE.md (curated) with these numbers")
 
 
 if __name__ == "__main__":
