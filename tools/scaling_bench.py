@@ -4,7 +4,8 @@ both and efficiency = (tput_32 / tput_8) / 4. Target >= 0.8.
 
 Each parallelism level runs in its own subprocess (fresh JVM) so
 nothing is shared but the materialized pages parquet. Writes
-BENCH/BASELINE.md.
+BENCH/scaling_<low>_<high>.json (BENCH/BASELINE.md is curated by hand
+from these).
 
 Usage: python tools/scaling_bench.py [low_cpus high_cpus [expand]]
 """
