@@ -173,6 +173,50 @@ def test_engine_matches_simulator_with_robots(spark, pages, seeds):
         assert len(hot) <= 2
 
 
+def test_crawl_deterministic_across_partitioning(spark, pages, seeds):
+    """The schedule must be a pure function of the data — identical
+    under different shuffle partitioning (SURVEY §7 'hard' #2)."""
+    seed_df, _ = seeds
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _spark_crawl(spark, pages, seed_df)
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        b = _spark_crawl(spark, pages, seed_df)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+def test_long_crawl_with_bloom_and_compaction(spark, pages, seeds, tmp_path):
+    """10 epochs end-to-end with Bloom dedup, salting and seen-delta
+    compaction: the crawl reaches the full reachable set and matches
+    the simulator's final seen set."""
+    seed_df, urls = seeds
+    cat = Catalog(str(tmp_path / "long"), n_buckets=8)
+    metrics = run_crawl(
+        spark,
+        pages,
+        seed_df,
+        epochs=10,
+        k_per_host=K,
+        catalog=cat,
+        use_bloom=True,
+        hot_host_threshold=50,
+        compact_every=4,
+    )
+    assert len(metrics) >= 3
+    # seen grows monotonically; queue eventually stabilizes or drains
+    seen_sizes = [m["seen_size"] for m in metrics]
+    assert seen_sizes == sorted(seen_sizes)
+    page_map = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    _, sim_seen = simulate_crawl(page_map, urls, len(metrics), k_per_host=K)
+    e, _, seen = resume_state(spark, cat)
+    assert sorted(r["url_sha1"] for r in seen.distinct().collect()) == sorted(
+        sim_seen
+    )
+
+
 def test_queue_drains_scheduled(spark, pages, seeds):
     seed_df, _ = seeds
     queue, seen = init_state(seed_df)
