@@ -74,8 +74,6 @@ def q_frontier_epoch(spark, pages_path):
         politeness_schedule,
     )
 
-    from warctools_spark.operators.frontier import detect_hot_hosts
-
     pages = spark.read.parquet(pages_path)
     seen = spark.read.parquet(seen_table_path())
     links = harvest_canonicalized(pages).withColumn("depth", F.lit(1))

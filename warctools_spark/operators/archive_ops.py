@@ -13,7 +13,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from warctools_spark.functions.udfs import udf_decode_http, udf_write_warc
-from warctools_spark.functions.exprs import warc_date_str
 
 
 def _null_safe_rlike(col: Column, pattern: str) -> Column:
