@@ -393,11 +393,14 @@ def _q_events_sessionize(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch_s = F.col("ts").cast("timestamp").cast("long")
-    gap = epoch_s - F.lag(epoch_s).over(w)
+    # Microsecond precision: events.parquet timestamps carry non-zero
+    # micros, and truncating to whole seconds flips gap>30min on boundary
+    # rows (diverges from the fractional-epoch oracle).
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
     )
     return flagged.withColumn(
         "session_seq",
@@ -932,9 +935,9 @@ def oracle_sql() -> dict[str, str]:
                    ) AS session_seq
             FROM (
               SELECT event_id, user_id, ts,
-                CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id)
-                     > 1800 OR lag(ts) OVER (
+                     > 1800 * 1000000 OR lag(ts) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS new_session
               FROM events
