@@ -125,10 +125,48 @@ def test_bloom_two_tier_exactness(pages, spark):
     seen = uniq.where(F.col("url_sha1").substr(1, 1) >= "c").select("url_sha1").cache()
 
     exact = FR.dedup_against_seen(uniq, seen)
-    two_tier = SEEN.two_tier_dedup(spark, uniq, seen, n_buckets=8, fpr=0.05)
     a = sorted(r["url_sha1"] for r in exact.select("url_sha1").collect())
-    b = sorted(r["url_sha1"] for r in two_tier.select("url_sha1").collect())
-    assert a == b  # zero false dedups, zero leaks
+    for mode in ("bucketed", "broadcast"):
+        two_tier = SEEN.two_tier_dedup(
+            spark, uniq, seen, n_buckets=8, fpr=0.05, probe_mode=mode
+        )
+        b = sorted(r["url_sha1"] for r in two_tier.select("url_sha1").collect())
+        assert a == b, mode  # zero false dedups, zero leaks
+
+
+def test_bucketed_probe_no_driver_broadcast(pages, spark, monkeypatch):
+    """The default (bucketed) probe must never collect the filter to
+    the driver nor SparkContext.broadcast bitsets — that is the whole
+    point of the co-partitioned path at 10^10 keys."""
+    links = FR.canonicalized(FR.harvest_links(pages.limit(100)))
+    uniq = FR.dedup_within_epoch(links.withColumn("depth", F.lit(1))).cache()
+    seen = uniq.where(F.col("url_sha1").substr(1, 1) < "8").select("url_sha1")
+
+    def boom(*a, **kw):  # any driver-side broadcast call fails the test
+        raise AssertionError("bucketed probe must not broadcast from the driver")
+
+    monkeypatch.setattr(spark.sparkContext, "broadcast", boom)
+    exact = sorted(
+        r["url_sha1"]
+        for r in FR.dedup_against_seen(uniq, seen).select("url_sha1").collect()
+    )
+    got = sorted(
+        r["url_sha1"]
+        for r in SEEN.two_tier_dedup(spark, uniq, seen, n_buckets=8)
+        .select("url_sha1")
+        .collect()
+    )
+    assert got == exact
+
+    from warctools_spark.operators import cuckoo as CK
+
+    got_ck = sorted(
+        r["url_sha1"]
+        for r in CK.two_tier_dedup_cuckoo(spark, uniq, seen, n_buckets=8)
+        .select("url_sha1")
+        .collect()
+    )
+    assert got_ck == exact
 
 
 def test_bloom_incremental_union(pages, spark):

@@ -110,6 +110,27 @@ class CuckooFilter:
         table = np.frombuffer(data, dtype="<u2").reshape(nb, SLOTS).copy()
         return cls(nb, table)
 
+    def contains_batch(self, sha1s) -> np.ndarray:
+        """Vectorized membership for a batch of sha1 hex keys: parse
+        (fp, i1, i2) per row, then two gathered slot comparisons."""
+        idx = [i for i, h in enumerate(sha1s) if h is not None]
+        out = np.zeros(len(sha1s), dtype=bool)
+        if not idx:
+            return out
+        fp = np.array(
+            [(int(sha1s[i][30:34], 16) % 0xFFFF) + 1 for i in idx],
+            dtype=np.int64,
+        )
+        i1 = np.array(
+            [int(sha1s[i][0:15], 16) for i in idx], dtype=np.int64
+        ) & (self.nb - 1)
+        i2 = (i1 ^ (fp * 0x5BD1E995)) & (self.nb - 1)
+        fpc = fp[:, None].astype(np.uint16)
+        out[idx] = (self.table[i1] == fpc).any(axis=1) | (
+            self.table[i2] == fpc
+        ).any(axis=1)
+        return out
+
 
 def build_cuckoo(
     seen: DataFrame, n_buckets: int = 32, load: float = 0.7
@@ -174,10 +195,56 @@ def delete_from_cuckoo(cuckoo: DataFrame, deletions: DataFrame, n_buckets: int) 
     )
 
 
+def probe_cuckoo_bucketed(
+    candidates: DataFrame, cuckoo: DataFrame, n_buckets: int
+) -> DataFrame:
+    """candidates + maybe_seen with the filter staying distributed:
+    shuffle candidates by the build-time bucket key, cogroup with the
+    (bucket, bits) table, probe each bucket's table in one vectorized
+    pass. No driver collect / whole-filter broadcast — the ≥1 GB path
+    (same shape as operators.seen.probe_bucketed)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    cand_cols = list(candidates.columns)
+    keyed = candidates.withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64("url_sha1"), F.lit(n_buckets)).cast("int"),
+    )
+    out_schema = StructType(
+        list(candidates.schema.fields)
+        + [StructField("maybe_seen", BooleanType(), False)]
+    )
+
+    def probe_group(cands: pd.DataFrame, flt: pd.DataFrame) -> pd.DataFrame:
+        out = cands[cand_cols].copy()
+        if not len(cands):
+            out["maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        if not len(flt):
+            out["maybe_seen"] = False
+            return out
+        row = flt.iloc[0]
+        if int(row["overflowed"]):
+            # lossy bucket -> always verify exactly
+            out["maybe_seen"] = True
+            return out
+        f = CuckooFilter.from_bytes(bytes(row["bits"]), int(row["nb"]))
+        out["maybe_seen"] = f.contains_batch(cands["url_sha1"].tolist())
+        return out
+
+    return (
+        keyed.groupBy("__bucket")
+        .cogroup(cuckoo.groupBy("bucket"))
+        .applyInPandas(probe_group, out_schema)
+    )
+
+
 def probe_cuckoo(
     spark: SparkSession, candidates: DataFrame, cuckoo: DataFrame, n_buckets: int
 ) -> DataFrame:
-    """candidates + maybe_seen column (definitive negative)."""
+    """Broadcast-probe variant for SMALL filters (definitive negative).
+    Collects every bucket to the driver — use probe_cuckoo_bucketed
+    beyond ~100 MB of filter bytes; bucketed is the two_tier default."""
     rows = cuckoo.collect()
     filters = {
         int(r["bucket"]): (bytes(r["bits"]), int(r["nb"]), int(r["overflowed"]))
@@ -221,11 +288,17 @@ def two_tier_dedup_cuckoo(
     candidates: DataFrame,
     seen: DataFrame,
     n_buckets: int = 32,
+    probe_mode: str = "bucketed",
 ) -> DataFrame:
     """Exact frontier \\ seen with the cuckoo fast path (same contract
     as operators.seen.two_tier_dedup)."""
     cuckoo = build_cuckoo(seen, n_buckets=n_buckets)
-    probed = probe_cuckoo(spark, candidates, cuckoo, n_buckets)
+    if probe_mode == "bucketed":
+        probed = probe_cuckoo_bucketed(candidates, cuckoo, n_buckets)
+    elif probe_mode == "broadcast":
+        probed = probe_cuckoo(spark, candidates, cuckoo, n_buckets)
+    else:
+        raise ValueError(f"unknown probe_mode: {probe_mode!r}")
     definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     survivors = suspects.join(

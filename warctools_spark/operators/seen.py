@@ -4,8 +4,14 @@ Two-tier design (SURVEY.md §7 phase 3, north_rule):
 
   tier 1 (Bloom): per-bucket bitsets built distributively with
   applyInPandas (one numpy bitset per host-hash bucket, merged
-  bucket-locally — no driver-side reduce of raw keys), broadcast to
-  executors, probed with a pandas UDF. A negative probe is definitive
+  bucket-locally — no driver-side reduce of raw keys). Probing is
+  CO-PARTITIONED by default: candidates are shuffled by the same
+  `pmod(xxhash64(url_sha1), n_buckets)` key used at build time and
+  cogrouped with the (bucket, bits) filter table, so each task touches
+  exactly one bucket's bitset and the driver never materializes the
+  filter. At the 10^10-key design point (~12 GB of bitsets across
+  4096 buckets) each task holds ~3 MB — no driver collect, no
+  per-executor whole-filter copy. A negative probe is definitive
   (the URL was never seen); a positive is only probable.
 
   tier 2 (exact): only Bloom-positive candidates reach the exact
@@ -34,6 +40,21 @@ def _positions(sha1_hex: str, k: int, m: int) -> np.ndarray:
     h1 = int(sha1_hex[0:15], 16)
     h2 = int(sha1_hex[15:30], 16) | 1
     return (h1 + np.arange(k, dtype=np.int64) * h2) % m
+
+
+def _probe_batch(bits: np.ndarray, m: int, k: int, sha1s) -> np.ndarray:
+    """Vectorized membership test for a batch of sha1 hex keys against
+    one bitset: (n, k) position matrix, one gather, all-bits reduce."""
+    idx = [i for i, h in enumerate(sha1s) if h is not None]
+    out = np.zeros(len(sha1s), dtype=bool)
+    if not idx:
+        return out
+    h1 = np.array([int(sha1s[i][0:15], 16) for i in idx], dtype=np.int64)
+    h2 = np.array([int(sha1s[i][15:30], 16) | 1 for i in idx], dtype=np.int64)
+    pos = (h1[:, None] + np.arange(k, dtype=np.int64)[None, :] * h2[:, None]) % m
+    hits = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+    out[idx] = hits
+    return out
 
 
 def optimal_params(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
@@ -130,10 +151,62 @@ def union_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def probe_bucketed(
+    candidates: DataFrame, bloom: DataFrame, n_buckets: int
+) -> DataFrame:
+    """candidates + boolean `maybe_seen`, with the filter STAYING
+    DISTRIBUTED: candidates are shuffled by the build-time bucket key
+    and cogrouped with the (bucket, bits) table, so each task reads one
+    bucket's bitset via Arrow and probes its own candidates in a single
+    vectorized pass. No driver collect, no SparkContext.broadcast of
+    bitsets — this is the ≥1 GB / 10^10-key path (SCALE.md option 2).
+
+    Output partitioning is the bucket hash — the same key the exact
+    tier-2 join and the seen table use, so the shuffle is reused.
+    """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    cand_cols = list(candidates.columns)
+    keyed = candidates.withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64("url_sha1"), F.lit(n_buckets)).cast("int"),
+    )
+    out_schema = StructType(
+        list(candidates.schema.fields)
+        + [StructField("maybe_seen", BooleanType(), False)]
+    )
+
+    def probe_group(cands: pd.DataFrame, flt: pd.DataFrame) -> pd.DataFrame:
+        out = cands[cand_cols].copy()
+        if not len(cands):
+            out["maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        if not len(flt):
+            # no filter row for this bucket: nothing was ever inserted
+            # here, so every candidate is definitively unseen
+            out["maybe_seen"] = False
+            return out
+        row = flt.iloc[0]
+        bits = np.frombuffer(row["bits"], dtype=np.uint8)
+        out["maybe_seen"] = _probe_batch(
+            bits, int(row["m"]), int(row["k"]), cands["url_sha1"].tolist()
+        )
+        return out
+
+    return (
+        keyed.groupBy("__bucket")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(probe_group, out_schema)
+    )
+
+
 def probe(
     spark: SparkSession, candidates: DataFrame, bloom: DataFrame, n_buckets: int
 ) -> DataFrame:
-    """candidates + boolean `maybe_seen` column.
+    """Broadcast-probe variant for SMALL filters (≲100 MB total bits):
+    avoids shuffling the candidates at the cost of a driver collect and
+    a per-executor copy of every bucket. Use `probe_bucketed` beyond
+    that — it is the default in `two_tier_dedup`.
 
     The bucket id is computed JVM-side with the same xxhash64 expression
     used at build time, then the pandas UDF only indexes bitsets.
@@ -149,15 +222,15 @@ def probe(
     def _maybe(bucket: pd.Series, sha1s: pd.Series) -> pd.Series:
         flt = bc.value
         out = np.zeros(len(sha1s), dtype=bool)
-        for i, (b, h) in enumerate(zip(bucket, sha1s)):
-            if h is None or b is None:
-                continue
+        for b in bucket.dropna().unique():
             entry = flt.get(int(b))
             if entry is None:
                 continue
             bits, m, k = entry
-            pos = _positions(h, k, m)
-            out[i] = bool(np.all((bits[pos >> 3] >> (pos & 7)) & 1))
+            mask = (bucket == b).to_numpy()
+            out[mask] = _probe_batch(
+                bits, m, k, sha1s[mask].tolist()
+            )
         return pd.Series(out)
 
     return candidates.withColumn(
@@ -175,14 +248,24 @@ def two_tier_dedup(
     seen: DataFrame,
     n_buckets: int = 32,
     fpr: float = 0.01,
+    probe_mode: str = "bucketed",
 ) -> DataFrame:
     """Exact frontier \\ seen with the Bloom fast path.
 
     definitely-new (bloom negative) ∪ (bloom positive ∖ seen-exact):
     exactness is preserved because Bloom negatives cannot be in `seen`.
+
+    probe_mode "bucketed" (default) co-partitions candidates with the
+    filter table — the scale path; "broadcast" collects the filter to
+    the driver and broadcasts it — only sane for small seen sets.
     """
     bloom = build_bloom(seen, n_buckets=n_buckets, fpr=fpr)
-    probed = probe(spark, candidates, bloom, n_buckets)
+    if probe_mode == "bucketed":
+        probed = probe_bucketed(candidates, bloom, n_buckets)
+    elif probe_mode == "broadcast":
+        probed = probe(spark, candidates, bloom, n_buckets)
+    else:
+        raise ValueError(f"unknown probe_mode: {probe_mode!r}")
     definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     survivors = suspects.join(
