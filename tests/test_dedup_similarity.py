@@ -86,11 +86,82 @@ def test_simhash_near_dups_close(docs_with_dups):
 
 def test_embedding_cosine_pairs_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200).cache()
-    lsh = D.embedding_cosine_pairs(emb, threshold=0.2, bucket_dims=2)
+    lsh = D.embedding_cosine_pairs(emb, threshold=0.2, bands=8, bits_per_band=4)
     assert lsh.count() > 0
     # every reported pair is above threshold and correct
     for r in lsh.limit(5).collect():
         assert r["cosine"] >= 0.2
+
+
+def test_lsh_degenerate_bucket_capped(spark):
+    """5k identical docs: without the cap this is 12.5M pairs in one
+    task; with it the pair count is linear (star) and the oversize
+    stats disclose what was capped."""
+    n = 5000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated for every row").alias("text"),
+    )
+    pairs, stats = D.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, max_bucket_size=200, return_stats=True
+    )
+    got = pairs.collect()
+    # star pairing: every doc links to the hub (min id) once
+    assert len(got) == n - 1
+    assert all(r["id_a"] == 0 for r in got)
+    st = stats.collect()[0]
+    assert st["n_oversize_buckets"] == 4  # one degenerate key per band
+    assert st["n_ids_in_oversize"] == 4 * n
+
+
+def test_hyperplane_lsh_recall(spark):
+    """Clustered synthetic corpus: banded hyperplane LSH must recall
+    ≥90% of true cosine≥0.9 pairs found by brute force, with bounded
+    bucket work."""
+    import math
+    import random
+
+    rng = random.Random(42)
+    dims, n_clusters, per_cluster, n_noise = 64, 20, 5, 200
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(dims)]
+        for _ in range(per_cluster):
+            v = [x + rng.gauss(0, 0.02) for x in center]
+            rows.append((vid, v))
+            vid += 1
+    for _ in range(n_noise):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(dims)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    vecs = dict(rows)
+    truth = {
+        (i, j)
+        for i in vecs
+        for j in vecs
+        if i < j and cos(vecs[i], vecs[j]) >= 0.9
+    }
+    assert len(truth) >= n_clusters * (per_cluster * (per_cluster - 1) // 2) * 0.9
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_cosine_pairs(
+            emb, threshold=0.9, dims=dims, bands=4, bits_per_band=8
+        ).collect()
+    }
+    assert got <= truth | got  # sanity
+    # no false positives (exact verify stage) and high recall
+    assert all(cos(vecs[a], vecs[b]) >= 0.9 for a, b in got)
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
 
 
 def test_brute_force_vs_ivf_topk(spark):

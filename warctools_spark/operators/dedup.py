@@ -105,6 +105,70 @@ def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
     )
 
 
+def _capped_bucket_pairs(
+    banded: DataFrame, id_col: str, max_bucket_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, sized) from banded(id, band, band_key) rows.
+
+    Bucket size + hub id come from a single window pass; the small
+    path (≤ max_bucket_size) explodes all in-bucket pairs, oversized
+    buckets emit O(n) star pairs to the bucket's min id — the pair
+    count, the per-task work and the collect_list array are all
+    bounded by the cap while connected-component clusters survive
+    intact. The groupBy after the window reuses the same hash
+    exchange on (band, band_key).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key")
+    sized = banded.select(
+        id_col,
+        "band",
+        "band_key",
+        F.count("*").over(w).alias("__n"),
+        F.min(id_col).over(w).alias("__hub"),
+    )
+    buckets = (
+        sized.where((F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size))
+        .groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    )
+    pair_gen = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    small_pairs = buckets.select(F.explode(pair_gen).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    )
+    star_pairs = sized.where(
+        (F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__hub"))
+    ).select(F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b"))
+    return small_pairs.unionByName(star_pairs).distinct(), sized
+
+
+def _bucket_stats(sized: DataFrame, max_bucket_size: int) -> DataFrame:
+    """One row: total buckets, oversized buckets, ids inside them —
+    the 'what got star-capped' disclosure for LSH hygiene."""
+    return (
+        sized.groupBy("band", "band_key")
+        .agg(F.first("__n").alias("n"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(
+                F.when(F.col("n") > max_bucket_size, 1).otherwise(0)
+            ).alias("n_oversize_buckets"),
+            F.sum(
+                F.when(F.col("n") > max_bucket_size, F.col("n")).otherwise(0)
+            ).alias("n_ids_in_oversize"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -112,11 +176,25 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     parallelism: int | None = None,
+    max_bucket_size: int = 200,
+    return_stats: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
-    rows = (band, band_key, id_a, id_b) distinct pairs that collide in
-    at least one band. Only the band groupBy shuffles.
+    rows = distinct (id_a, id_b) pairs that collide in at least one
+    band. Only the band groupBy shuffles.
+
+    Degenerate-bucket hygiene: a band key shared by a huge member set
+    (empty docs, boilerplate) would make the in-bucket all-pairs
+    explosion O(n²) in ONE task. Buckets larger than `max_bucket_size`
+    therefore switch to STAR pairing — every member links to the
+    bucket's min id — which is O(n) per bucket, bounds both the pair
+    count and the collect_list array size, and preserves the duplicate
+    cluster exactly under connected-components (members of one bucket
+    are transitively connected through the hub). With
+    `return_stats=True` the function returns (pairs, stats) where
+    stats reports total/oversized bucket counts and how many ids fell
+    into oversized buckets — no silent truncation.
     """
     rows_per_band = num_hashes // bands
     # small-file inputs arrive as one partition; the signature pass is
@@ -159,26 +237,11 @@ def minhash_lsh_candidates(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     # bucket-collect instead of self-join: a self-join would execute the
     # signature pipeline twice; one groupBy + in-bucket pair explosion
-    # scans once and shuffles once
-    buckets = (
-        banded.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    pair_gen = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pair_gen).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
-    )
+    # scans once and shuffles once.
+    pairs, sized = _capped_bucket_pairs(banded, id_col, max_bucket_size)
+    if not return_stats:
+        return pairs
+    return pairs, _bucket_stats(sized, max_bucket_size)
 
 
 def ngram_jaccard(
@@ -242,53 +305,108 @@ def simhash60(col: Column, n: int = 3) -> Column:
     return out
 
 
+def _hyperplane(band: int, bit: int, dims: int) -> list[float]:
+    """Deterministic ±1 hyperplane: md5 parity per (band, bit, dim).
+    No RNG — identical across runs, partitions, and engines."""
+    import hashlib
+
+    out = []
+    for d in range(dims):
+        h = hashlib.md5(f"hp:{band}:{bit}:{d}".encode()).digest()
+        out.append(1.0 if h[0] & 1 else -1.0)
+    return out
+
+
+def hyperplane_band_keys(
+    vec_col: str, bands: int, bits_per_band: int, dims: int
+) -> Column:
+    """array<struct<band,band_key>> of banded sign-random-projection
+    keys: bit j of band b is the sign of <v, h_{b,j}> for a fixed ±1
+    hyperplane. cos(v, w) = c  ⇒  P[bit agrees] = 1 - arccos(c)/π, so
+    a pair at cosine 0.9 collides in at least one of 4 8-bit bands
+    w.p. ~1-(1-0.77^8)^4 ≈ 0.93 while random pairs spread over 2^8
+    buckets per band. All JVM expressions (zip_with over a literal
+    coefficient array per bit)."""
+
+    def bit(b, j):
+        coefs = F.array(*[F.lit(c) for c in _hyperplane(b, j, dims)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), coefs, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[bit(b, j) for j in range(bits_per_band)]).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_dims: int = 4,
+    dims: int = 64,
+    bands: int = 4,
+    bits_per_band: int = 8,
+    max_bucket_size: int = 1000,
+    return_stats: bool = False,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs above a cosine threshold.
+    """Embedding near-duplicate pairs above a cosine threshold via
+    banded random-hyperplane LSH (SimHash for vectors).
 
-    Scale path: sign-LSH bucketing on the first `bucket_dims`
-    dimensions' signs restricts the self-join to same-bucket pairs
-    (near-identical vectors share sign patterns with high
-    probability); exactness for the test corpus is preserved by
-    comparing against the brute-force path in tests.
+    Scale shape: each vector lands in `bands` buckets of ~n/2^bits
+    expected occupancy; candidate pairs come from the same capped
+    bucket-pairing machinery as MinHash LSH (oversized buckets → O(n)
+    star pairs), then the exact cosine is computed only for
+    candidates. Work is O(n·bands + Σ bucket²·[bucket≤cap]) — never
+    the n²/2^bits of a single coarse sign key. Recall vs brute force
+    is pinned by test_hyperplane_lsh_recall.
     """
-    sign_key = F.concat_ws(
-        "",
-        *[
-            F.when(F.col(vec_col)[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(bucket_dims)
-        ],
+    keyed = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    keyed = emb.select(F.col(id_col), F.col(vec_col), sign_key.alias("bucket"))
-    a, b = keyed.alias("a"), keyed.alias("b")
+    banded = keyed.select(
+        id_col,
+        F.explode(
+            hyperplane_band_keys("__v", bands, bits_per_band, dims)
+        ).alias("bk"),
+    ).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    pairs, sized = _capped_bucket_pairs(banded, id_col, max_bucket_size)
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
+    )
     dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.col(f"{side}.{vec_col}"), F.lit(0.0), lambda acc, x: acc + x * x
-        )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .withColumn("cosine", dot / (norm("a") * norm("b")))
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", dot / (norm("__va") * norm("__vb")))
         .where(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "cosine",
-        )
+        .select("id_a", "id_b", "cosine")
     )
+    if not return_stats:
+        return scored
+    return scored, _bucket_stats(sized, max_bucket_size)
