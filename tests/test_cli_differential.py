@@ -87,6 +87,135 @@ def test_warcindex_output_parity(spark, tmp_path):
     assert ours == ref_lines
 
 
+def _run(cmd: list, cwd=None) -> bytes:
+    import subprocess
+
+    res = subprocess.run(cmd, capture_output=True, cwd=cwd)
+    assert res.returncode == 0, res.stderr.decode(errors="replace")
+    return res.stdout
+
+
+CHUNKED_HTTP = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+    b"Transfer-Encoding: chunked\r\n\r\n"
+    b"5\r\nhello\r\n7\r\n world!\r\n0\r\n\r\n"
+)
+
+
+def _warc_with_response(http: bytes) -> bytes:
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-0000000000aa>\r\n"
+        b"WARC-Date: 2013-11-15T00:00:00Z\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 10\r\n\r\nformat: x\n\r\n\r\n"
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-0000000000ab>\r\n"
+        b"WARC-Date: 2013-11-15T00:00:01Z\r\n"
+        b"WARC-Target-URI: http://cli.example/p\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+
+
+@pytest.mark.parametrize("http", [HTTP, CHUNKED_HTTP], ids=["clen", "chunked"])
+def test_warcpayload_stdout_parity(tmp_path, http):
+    """Byte-for-byte stdout parity with the reference warcpayload tool
+    (warcpayload.py:38-61): HTTP body after httplib transfer decoding."""
+    data = _warc_with_response(http)
+    f = tmp_path / "payload.warc"
+    f.write_bytes(data)
+    offset = data.index(b"WARC/1.0\r\nWARC-Type: response")
+
+    ref = _run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '/root/reference'); "
+            "from hanzo.warcpayload import main; "
+            f"main(['warcpayload', '{f}:{offset}'])",
+        ]
+    )
+    ours = _run(
+        [
+            sys.executable,
+            "-m",
+            "warctools_spark.cli",
+            "--cpus",
+            "2",
+            "warcpayload",
+            f"{f}:{offset}",
+        ],
+        cwd="/root/repo",
+    )
+    assert ours == ref
+
+
+def test_warc2warc_wget_chunk_fix_stdout_parity(tmp_path):
+    """warc2warc -D --wget-chunk-fix parity (warc2warc.py:26,31-34):
+    a wget-bug record advertises chunked but carries a literal body;
+    ignoring Transfer-Encoding decodes it as connection-close.
+
+    NB: the reference CLI's flag is a silent no-op under python 3 —
+    warc2warc.py:31 passes str header names while messaging.py:470
+    compares lowercased bytes, so the ignore set never matches and the
+    decode fails as incomplete. The expected bytes are therefore built
+    by running the reference CLI's own process() loop with the ignore
+    list as bytes (the working py2-era semantic, same as the kernel
+    differential at test_http_kernel.py::test_ignore_headers_wget_
+    workaround), serialized with the reference's record.write_to."""
+    broken = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\nliteral body no chunks"
+    )
+    data = _warc_with_response(broken)
+    f = tmp_path / "wget.warc"
+    f.write_bytes(data)
+
+    ref = _run(
+        [
+            sys.executable,
+            "-c",
+            "import sys, io; sys.path.insert(0, '/root/reference')\n"
+            "from hanzo.warctools import WarcRecord\n"
+            "from hanzo.httptools import RequestMessage, ResponseMessage\n"
+            "out = sys.stdout.buffer\n"
+            f"fh = WarcRecord.open_archive('{f}', gzip='auto')\n"
+            "for record in fh:\n"
+            "    if record.type == WarcRecord.RESPONSE:\n"
+            "        content_type, content = record.content\n"
+            "        if content_type == ResponseMessage.CONTENT_TYPE:\n"
+            "            m = ResponseMessage(RequestMessage(),"
+            " ignore_headers=[b'Transfer-Encoding'])\n"
+            "            leftover = m.feed(content); m.close()\n"
+            "            if not leftover and m.complete():\n"
+            # record.content has no setter in this snapshot (record.py:88)
+            # - warc2warc.py:54 would crash on py3; poke _content directly
+            "                record._content = (content_type,"
+            " m.get_decoded_message())\n"
+            "    record.write_to(out, gzip=False)\n",
+        ]
+    )
+    ours = _run(
+        [
+            sys.executable,
+            "-m",
+            "warctools_spark.cli",
+            "--cpus",
+            "2",
+            "warc2warc",
+            "-D",
+            "--wget-chunk-fix",
+            str(f),
+        ],
+        cwd="/root/repo",
+    )
+    assert ours == ref
+
+
 def test_warclinks_output_parity(spark, tmp_path):
     """Our harvested links == the reference warclinks generator output
     on the same file (2xx html gate + absolutize + ctl strip)."""

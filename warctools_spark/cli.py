@@ -7,10 +7,12 @@ tools (1:1 with the reference commands):
   warcfilter  [-U|-T|-C|-H|-D] [-i] <pattern> <warcs...>
   warcvalid   <warcs...>                  exit 0 iff all records valid
   warcdump    <warcs...>                  human-readable record dump
-  warc2warc   [-D] [-Z] -o OUT <warcs...> rewrite (decode http, gzip)
+  warc2warc   [-D] [-Z] [--wget-chunk-fix] -o OUT <warcs...>
+                                          rewrite (decode http, gzip)
   arc2warc    -o OUT <arcs...>            convert ARC -> WARC records
   warclinks   <warcs...>                  harvested outlinks to stdout
   warcextract <warc> <offset>             one record's payload to stdout
+  warcpayload <warc:offset[,len]>         one record's http body to stdout
   warcunpack  <warcs...>                  unpack log (path, wayback uri)
 
 Outputs are driven through the same DataFrame operators the engine
@@ -152,7 +154,11 @@ def cmd_warc2warc(args):
             ),
         )
     else:
-        out_df = warc2warc_decode(recs, gzip_output=bool(args.gzip))
+        out_df = warc2warc_decode(
+            recs,
+            gzip_output=bool(args.gzip),
+            wget_chunk_fix=bool(args.wget_chunk_fix),
+        )
     sink = open(args.output, "wb") if args.output else sys.stdout.buffer
     for r in out_df.orderBy("source_file", "offset").toLocalIterator():
         sink.write(bytes(r["record_bytes"]))
@@ -197,6 +203,41 @@ def cmd_warclinks(args):
     pages = records_to_pages(_records(spark, args.inputs))
     for r in harvest_links(pages).toLocalIterator():
         print(r["link"])
+    return 0
+
+
+def cmd_warcpayload(args):
+    """Print one record's HTTP payload body (warcpayload.py:22-61):
+    `warcpayload file:offset[,length]`. Response records with an
+    application/http content-type get the body after chunked transfer
+    decoding (httplib semantics: dechunked, Content-Encoding left
+    intact); anything else dumps the raw record content."""
+    from warctools_spark.operators.unpack import extract_payload
+
+    target = args.target
+    filename, _, off = target.rpartition(":")
+    if not filename:
+        print("usage: warcpayload file:offset[,length]", file=sys.stderr)
+        return -1
+    off = off.split(",", 1)[0]  # optional length is ignored: columnar
+    offset = int(off)
+    spark = _spark(args.cpus)
+    recs = _records(spark, [filename])
+    src = recs.select("source_file").first()["source_file"]
+    rows = extract_payload(recs, src, offset).collect()
+    if not rows:
+        print("no record at offset %s" % offset, file=sys.stderr)
+        return -1
+    r = rows[0]
+    content = bytes(r["content"]) if r["content"] is not None else b""
+    body = content
+    if r["record_type"] == "response" and (r["content_type"] or "").startswith(
+        "application/http"
+    ):
+        from warctools_spark.kernels.http_decode import decode_http
+
+        body = decode_http(content, kind="response").body
+    sys.stdout.buffer.write(body)
     return 0
 
 
@@ -266,9 +307,17 @@ def main(argv=None):
     s = sub.add_parser("warc2warc")
     s.add_argument("-D", "--decode_http", action="store_true")
     s.add_argument("-Z", "--gzip", action="store_true")
+    s.add_argument(
+        "--wget-chunk-fix", dest="wget_chunk_fix", action="store_true",
+        help="ignore Transfer-Encoding headers when decoding (-D)",
+    )
     s.add_argument("-o", "--output")
     s.add_argument("inputs", nargs="+")
     s.set_defaults(fn=cmd_warc2warc)
+
+    s = sub.add_parser("warcpayload")
+    s.add_argument("target", help="file:offset[,length]")
+    s.set_defaults(fn=cmd_warcpayload)
 
     s = sub.add_parser("arc2warc")
     s.add_argument("-Z", "--gzip", action="store_true")

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-import hashlib
 
 from warctools_spark.kernels.canon import (
     canon_parts,
@@ -27,8 +26,6 @@ from warctools_spark.kernels.canon import (
 )
 
 
-def _sha1_hex(s: str) -> str:
-    return hashlib.sha1(s.encode("utf-8")).hexdigest()
 from warctools_spark.kernels.http_decode import decode_http
 from warctools_spark.kernels.links import extract_links
 from warctools_spark.kernels.warc_write import warc_uuid, write_warc_record
@@ -49,15 +46,32 @@ HTTP_STRUCT = T.StructType(
 )
 
 
-@pandas_udf(HTTP_STRUCT)
-def udf_decode_http(html: pd.Series) -> pd.DataFrame:
+def make_udf_decode_http(ignore_headers=()):
+    """HTTP response decode udf, optionally ignoring headers at parse
+    time — e.g. ("Transfer-Encoding",) replicates warc2warc
+    --wget-chunk-fix (warc2warc.py:26,31-34)."""
+    ignore = tuple(
+        h if isinstance(h, bytes) else h.encode("latin-1")
+        for h in ignore_headers
+    )
+
+    @pandas_udf(HTTP_STRUCT)
+    def _udf(html: pd.Series) -> pd.DataFrame:
+        return _decode_http_batch(html, ignore)
+
+    return _udf
+
+
+def _decode_http_batch(html: pd.Series, ignore_headers=()) -> pd.DataFrame:
     """HTTP response decode (messaging.py feed-whole+close semantics)."""
     out = {k: [] for k in ("code", "mime", "complete", "body", "decoded_body", "decoded_message", "errors")}
     for payload in html:
         if payload is None:
             res = None
         else:
-            res = decode_http(bytes(payload), kind="response")
+            res = decode_http(
+                bytes(payload), kind="response", ignore_headers=ignore_headers
+            )
         if res is None:
             out["code"].append(None)
             out["mime"].append(None)
@@ -76,6 +90,9 @@ def udf_decode_http(html: pd.Series) -> pd.DataFrame:
             out["decoded_message"].append(res.get_decoded_message())
             out["errors"].append(res.errors)
     return pd.DataFrame(out)
+
+
+udf_decode_http = make_udf_decode_http()
 
 
 @pandas_udf(T.StringType())

@@ -90,18 +90,31 @@ def warc_valid(records: DataFrame) -> DataFrame:
     )
 
 
-def warc2warc_decode(records: DataFrame, gzip_output: bool = False) -> DataFrame:
+def warc2warc_decode(
+    records: DataFrame,
+    gzip_output: bool = False,
+    wget_chunk_fix: bool = False,
+) -> DataFrame:
     """warc2warc -D (warc2warc.py:33-61): for response records with an
     http payload, replace content with the decoded message (chunking
     stripped, gzip inflated, Content-Length rewritten); leave other
     records untouched. Adds `record_bytes` with the re-serialized WARC
-    record (± per-record gzip member)."""
+    record (± per-record gzip member). `wget_chunk_fix` ignores
+    Transfer-Encoding headers while decoding — warc2warc
+    --wget-chunk-fix (warc2warc.py:26,31-34)."""
+    from warctools_spark.functions.udfs import make_udf_decode_http
+
+    decode = (
+        make_udf_decode_http((b"Transfer-Encoding",))
+        if wget_chunk_fix
+        else udf_decode_http
+    )
     is_http_response = (F.col("record_type") == "response") & F.col(
         "content_type"
     ).startswith("application/http")
     decoded = records.withColumn(
         "http",
-        F.when(is_http_response, udf_decode_http(F.col("content"))).otherwise(
+        F.when(is_http_response, decode(F.col("content"))).otherwise(
             F.lit(None)
         ),
     )
