@@ -463,15 +463,21 @@ def _q_bloom_dedup(spark, sf_dir):
 
 
 def _q_warc_roundtrip(spark, sf_dir):
-    """pages -> WARC serialization -> reparse -> index: exercises
+    """pages -> WARC serialization -> reparse -> invariants: exercises
     udf_write_warc + the parse kernel through Spark (warc2warc
-    semantics, warc.py:76-127)."""
-    from warctools_spark.functions.udfs import udf_decode_http, udf_write_warc
+    semantics, warc.py:76-127). Deterministic doc_id<200 slice and
+    boolean invariants (url fidelity, content-length fidelity, zero
+    parse errors) so a pure-SQL oracle can replay the expected rows
+    from the document model."""
+    from warctools_spark.functions.udfs import udf_write_warc
     from warctools_spark.kernels.warc_parse import parse_archive
 
     import pandas as pd
 
-    pages = _pages(spark, sf_dir).limit(200)
+    pages = _pages(spark, sf_dir).withColumn(
+        "doc_id",
+        F.regexp_extract("url", r"/doc/(\d+)\.html", 1).cast("long"),
+    ).where(F.col("doc_id") < 200)
     recs = pages.select(
         udf_write_warc(
             F.concat(F.lit("<urn:uuid:"), F.md5("url"), F.lit(">")),
@@ -483,28 +489,31 @@ def _q_warc_roundtrip(spark, sf_dir):
             F.lit(False),
         ).alias("record_bytes"),
         "url",
+        F.length("html").alias("payload_len"),
     )
 
     def reparse(batches):
         for pdf in batches:
             out = []
-            for rb, url in zip(pdf["record_bytes"], pdf["url"]):
+            for rb, url, plen in zip(
+                pdf["record_bytes"], pdf["url"], pdf["payload_len"]
+            ):
                 rows = parse_archive(bytes(rb), fmt="warc")
                 for r in rows:
                     out.append(
                         {
                             "url": r.url.decode() if r.url else None,
                             "matches": (r.url or b"").decode() == url,
-                            "content_length": r.content_length,
+                            "clen_match": r.content_length == int(plen),
                             "n_errors": len(r.errors),
                         }
                     )
             yield pd.DataFrame(
-                out, columns=["url", "matches", "content_length", "n_errors"]
+                out, columns=["url", "matches", "clen_match", "n_errors"]
             )
 
     return recs.mapInPandas(
-        reparse, "url string, matches boolean, content_length long, n_errors int"
+        reparse, "url string, matches boolean, clen_match boolean, n_errors int"
     )
 
 
@@ -988,5 +997,32 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 3) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # epoch-0 schedule: seeds are url_for(0,7,14,...) at depth 0
+        # (doc_ids are contiguous 0..n-1, so doc_id % 7 = 0 IS
+        # range(0, n, 7)); canonicalization is the identity on the
+        # synthetic URLs; politeness = top-10 per host ordered by
+        # (depth, canon_url) — the same CTE style as politeness_topk.
+        "frontier_epoch": f"""
+            WITH seeds AS (
+              SELECT {_URL.format(id="doc_id")} AS canon_url,
+                     {_HOST.format(id="doc_id")} AS host,
+                     0 AS depth
+              FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT canon_url, host, depth FROM (
+              SELECT seeds.*, row_number() OVER (
+                PARTITION BY host ORDER BY depth, canon_url
+              ) AS rn FROM seeds
+            ) WHERE rn <= 10
+        """,
+        # roundtrip invariants from the document model: every doc_id<200
+        # page serializes and reparses with its url intact, the record
+        # content-length equal to the http payload length, and no
+        # parse errors.
+        "warc_roundtrip": f"""
+            SELECT {_URL.format(id="doc_id")} AS url,
+                   TRUE AS matches, TRUE AS clen_match, 0 AS n_errors
+            FROM documents WHERE doc_id < 200
         """,
     }
