@@ -142,10 +142,20 @@ def run_epoch(
         fresh = apply_robots(fresh, robots).drop("crawl_delay_ms")
     fresh = fresh.select(*QUEUE_COLS)
 
-    # 6/7. next state
+    # 6/7. next state. With materialize=True the row-count metrics ride
+    # the checkpoint jobs as observe() aggregates — one action per
+    # materialized state table per epoch, zero extra count jobs.
     if materialize:
-        schedule = schedule.localCheckpoint(eager=True)
-        fresh = fresh.localCheckpoint(eager=True)
+        from pyspark.sql import Observation
+
+        def _cp(df, obs):
+            return df.observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True)
+
+        o_sched, o_fresh = Observation(), Observation()
+        schedule = _cp(schedule, o_sched)
+        fresh = _cp(fresh, o_fresh)
 
     queue_next = queue.join(
         schedule.select("url_sha1"), on="url_sha1", how="left_anti"
@@ -153,18 +163,28 @@ def run_epoch(
     seen_next = seen.unionByName(fresh.select("url_sha1"))
 
     if materialize:
-        queue_next = queue_next.localCheckpoint(eager=True)
-        seen_next = seen_next.localCheckpoint(eager=True)
+        o_queue, o_seen = Observation(), Observation()
+        queue_next = _cp(queue_next, o_queue)
+        seen_next = _cp(seen_next, o_seen)
+        n_sched = o_sched.get["n"]
+        n_fresh = o_fresh.get["n"]
+        n_queue = o_queue.get["n"]
+        n_seen = o_seen.get["n"]
+    else:
+        n_sched = schedule.count()
+        n_fresh = fresh.count()
+        n_queue = queue_next.count()
+        n_seen = seen_next.count()
 
     metrics = {
         "epoch": epoch,
-        "scheduled": schedule.count(),
+        "scheduled": n_sched,
         # fetched/discovered re-execute the harvest stage; opt-in only
         "fetched": fetched.count() if full_metrics else None,
         "discovered": links.count() if full_metrics else None,
-        "deduped_new": fresh.count(),
-        "queue_size": queue_next.count(),
-        "seen_size": seen_next.count(),
+        "deduped_new": n_fresh,
+        "queue_size": n_queue,
+        "seen_size": n_seen,
         "wall_s": time.time() - t0,
     }
     return EpochResult(
