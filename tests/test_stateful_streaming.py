@@ -44,3 +44,48 @@ def test_cross_batch_budget(spark, tmp_path):
     # within budget (hot host certainly did)
     assert "hot.example.com" in per_host
     assert len(per_host["hot.example.com"]) == 7
+
+
+def test_budgeted_schedule_two_batches(spark, tmp_path):
+    """Batch 2's budget must reflect batch 1's fetches: a host with
+    candidates in both batches gets k in batch 1 but only the
+    remaining total_budget - k in batch 2."""
+    from warctools_spark.streaming.stateful import budgeted_schedule_stream
+
+    d = str(tmp_path / "pages2")
+    synthesize_pages(spark, SF_DIR).limit(200).repartition(4).write.parquet(d)
+
+    stream = FS.stream_pages(spark, d, max_files_per_trigger=1)
+    links = FS.harvest_with_event_time(stream).select(
+        "host", "canon_url", "url_sha1", "warc_ts"
+    )
+    sched = budgeted_schedule_stream(links, k_per_batch=5, total_budget=8)
+    q = (
+        sched.writeStream.format("memory")
+        .queryName("budget_sched_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(q.recentProgress) > 1  # multiple micro-batches ran
+
+    rows = spark.sql("SELECT * FROM budget_sched_test").collect()
+    assert rows
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r["host"], []).append((r["batch_ord"], r["host_seq"]))
+    hot = per_host["hot.example.com"]
+    by_batch = {}
+    for bo, seq in hot:
+        by_batch.setdefault(bo, []).append(seq)
+    # batch 1: full k; batch 2: only what the total budget left over
+    assert len(by_batch[1]) == 5
+    assert len(by_batch[2]) == 3  # 8 - 5 carried across the batch edge
+    assert 3 not in by_batch or len(by_batch.get(3, [])) == 0
+    # host_seq is dense across batches -> state really carried
+    assert sorted(s for _, s in hot) == list(range(1, 9))
+    for host, pairs in per_host.items():
+        assert len(pairs) <= 8, host
+        assert max(s for _, s in pairs) <= 8

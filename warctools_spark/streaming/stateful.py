@@ -68,3 +68,94 @@ def rate_limit_per_host(links: DataFrame, budget_per_host: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SCHED_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("canon_url", T.StringType()),
+        T.StructField("url_sha1", T.StringType()),
+        T.StructField("host_seq", T.IntegerType()),
+        T.StructField("batch_ord", T.IntegerType()),
+    ]
+)
+
+SCHED_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("used", T.IntegerType()),
+        T.StructField("batches_seen", T.IntegerType()),
+    ]
+)
+
+
+def budgeted_schedule_stream(
+    links: DataFrame,
+    k_per_batch: int,
+    total_budget: int,
+    budget_window_ms: int | None = None,
+) -> DataFrame:
+    """Politeness scheduling whose budget SURVIVES micro-batch edges —
+    the stateful twin of frontier_stream.schedule_micro_batches, which
+    re-budgets every batch independently.
+
+    Per batch a host gets at most k_per_batch slots, ranked by
+    (warc_ts, canon_url) like the batch scheduler; across batches it
+    gets at most total_budget until its state times out. With
+    budget_window_ms set the state uses a processing-time timeout, so
+    a quiet host's budget replenishes after the politeness window —
+    the crawl-delay semantics of the batch engine's budgeted
+    scheduler, carried by GroupState instead of a per-epoch join.
+
+    Output rows carry host_seq (cumulative schedule position) and
+    batch_ord (how many batches this host has appeared in), so tests
+    and metrics can attribute rows to batch edges.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if budget_window_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def scheduler(key, pdfs, state: GroupState):
+        (host,) = key
+        if state.hasTimedOut:
+            # politeness window elapsed with no arrivals: replenish
+            state.remove()
+            yield pd.DataFrame(
+                {c.name: [] for c in SCHED_OUTPUT_SCHEMA}
+            )
+            return
+        used, batches_seen = state.get if state.exists else (0, 0)
+        batches_seen += 1
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values(["warc_ts", "canon_url"])
+        take = min(k_per_batch, max(0, total_budget - used), len(pdf))
+        out = []
+        for _, row in pdf.head(take).iterrows():
+            used += 1
+            out.append(
+                {
+                    "host": host,
+                    "canon_url": row["canon_url"],
+                    "url_sha1": row["url_sha1"],
+                    "host_seq": used,
+                    "batch_ord": batches_seen,
+                }
+            )
+        state.update((used, batches_seen))
+        if budget_window_ms:
+            state.setTimeoutDuration(budget_window_ms)
+        if out:
+            yield pd.DataFrame(out)
+        else:
+            yield pd.DataFrame(
+                {c.name: [] for c in SCHED_OUTPUT_SCHEMA}
+            )
+
+    return links.groupBy("host").applyInPandasWithState(
+        scheduler,
+        outputStructType=SCHED_OUTPUT_SCHEMA,
+        stateStructType=SCHED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
