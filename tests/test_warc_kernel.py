@@ -356,3 +356,32 @@ def test_differential_datetime():
 
     for d in (datetime(2013, 11, 15), datetime(2020, 2, 29, 23, 59, 59, 999999)):
         assert warc_datetime_str(d) == ref_dt(d)
+
+
+def test_expand_files(spark, tmp_path):
+    """expand_files: globs, recursive dirs, passthrough, dedup+sort
+    (reference expand_files + s3.list_files, via Hadoop FileSystem so
+    the same code path serves s3a:// in production)."""
+    from warctools_spark.sources.warc import expand_files
+
+    (tmp_path / "a.warc").write_bytes(b"x")
+    sub = tmp_path / "seg"
+    sub.mkdir()
+    (sub / "b.warc").write_bytes(b"x")
+    (sub / "c.warc.gz").write_bytes(b"x")
+    (sub / "_SUCCESS").write_bytes(b"")  # hidden marker: excluded
+
+    got = expand_files(spark, [str(tmp_path / "*.warc"), str(sub)])
+    names = [p.rsplit("/", 1)[1] for p in got]
+    assert names == ["a.warc", "b.warc", "c.warc.gz"]
+    assert all(p.startswith("file:") for p in got)
+
+    # plain file passthrough + dedup with its glob match
+    again = expand_files(
+        spark, [str(tmp_path / "a.warc"), str(tmp_path / "a.*")]
+    )
+    assert [p.rsplit("/", 1)[1] for p in again] == ["a.warc"]
+
+    # unmatched input stays verbatim for downstream error reporting
+    missing = expand_files(spark, [str(tmp_path / "nope" / "*.warc")])
+    assert missing == [str(tmp_path / "nope" / "*.warc")]

@@ -35,9 +35,11 @@ def _spark(cpus: str = "*"):
 
 
 def _records(spark, paths, fmt="auto"):
-    from warctools_spark.sources.warc import read_warc
+    from warctools_spark.sources.warc import expand_files, read_warc
 
-    return read_warc(spark, paths, fmt=fmt)
+    # reference CLI parity: every tool expands its inputs
+    # (hanzo/warctools/__init__.py:8-14) before reading
+    return read_warc(spark, expand_files(spark, paths), fmt=fmt)
 
 
 def cmd_warcindex(args):

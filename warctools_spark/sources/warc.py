@@ -93,3 +93,48 @@ def read_warc(
             )
 
     return files.select("path", "content").mapInPandas(parse, RECORDS_SCHEMA)
+
+
+def expand_files(spark: SparkSession, paths: str | list[str]) -> list[str]:
+    """Spark-native twin of the reference's input expansion
+    (hanzo/warctools/__init__.py:8-14 `expand_files` +
+    hanzo/warctools/s3.py:38-55 `list_files` marker pagination).
+
+    Every path is resolved through the Hadoop FileSystem of its scheme
+    — s3a://, hdfs://, file:// or bare local paths — so the paginated
+    bucket LIST the reference hand-rolls with boto markers is done by
+    the JVM connector (S3A issues ListObjectsV2 with continuation
+    tokens). Globs expand via globStatus; directories expand to their
+    (non-hidden) files recursively; plain files pass through. Returns
+    a sorted, de-duplicated list of fully-qualified URIs, so CLI runs
+    are deterministic regardless of listing order.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    out: list[str] = []
+
+    def _add_file_or_dir(fs, status):
+        if status.isDirectory():
+            it = fs.listFiles(status.getPath(), True)  # recursive
+            while it.hasNext():
+                f = it.next()
+                name = f.getPath().getName()
+                if not name.startswith(("_", ".")):
+                    out.append(f.getPath().toString())
+        else:
+            out.append(status.getPath().toString())
+
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(hconf)
+        statuses = fs.globStatus(jpath)
+        if statuses is None or len(statuses) == 0:
+            # keep unmatched inputs verbatim: downstream load() raises
+            # the standard path-not-found error with the user's string
+            out.append(p)
+            continue
+        for st in statuses:
+            _add_file_or_dir(fs, st)
+    return sorted(set(out))
