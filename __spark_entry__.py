@@ -545,6 +545,28 @@ def _q_lsh_band_buckets(spark, sf_dir):
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
+def _q_hyperplane_bands(spark, sf_dir):
+    """Banded random-hyperplane LSH keys over the embedding corpus —
+    the bucket keys driving embedding_cosine_pairs, fully replayable
+    (deterministic md5-parity ±1 hyperplanes inlined as constants on
+    both sides)."""
+    from warctools_spark.operators.dedup import hyperplane_band_keys
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return emb.select(
+        "vec_id",
+        F.explode(hyperplane_band_keys("v", bands=4, bits_per_band=8, dims=64)).alias(
+            "bk"
+        ),
+    ).select(
+        "vec_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def _q_image_features(spark, sf_dir):
     """Multimodal plumbing: fake-codec decode + pixel stats, checked
     against an oracle that recomputes the quantization in SQL."""
@@ -624,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_hourly": _q_events_hourly,
         "lsh_band_buckets": _q_lsh_band_buckets,
+        "hyperplane_bands": _q_hyperplane_bands,
         "image_features": _q_image_features,
         "unpack_paths": _q_unpack_paths,
         # rows-only (kernel semantics not expressible in SQL)
@@ -647,6 +670,36 @@ _URL = "'http://' || " + _HOST + " || '/doc/' || {id} || '.html'"
 
 _NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 _WORDS = "string_split(" + _NORM + ", ' ')"
+
+
+def _hyperplane_bands_sql(bands: int = 4, bits: int = 8, dims: int = 64) -> str:
+    """DuckDB replay of hyperplane_band_keys: the ±1 coefficients are
+    the same md5-parity constants, inlined; each dot product is the
+    same left-associated 64-term sum Spark's aggregate fold computes,
+    so the float rounding (and hence every sign bit) is identical."""
+    from warctools_spark.operators.dedup import _hyperplane
+
+    def bit_expr(b, j):
+        coefs = _hyperplane(b, j, dims)
+        terms = " + ".join(
+            f"({c:+.1f})*v[{d + 1}]" for d, c in enumerate(coefs)
+        )
+        return f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END"
+
+    def key_expr(b):
+        return " || ".join(f"({bit_expr(b, j)})" for j in range(bits))
+
+    entries = ",\n              ".join(
+        "{'band': %d, 'band_key': %s}" % (b, key_expr(b)) for b in range(bands)
+    )
+    return f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT vec_id, t.b['band'] AS band, t.b['band_key'] AS band_key
+            FROM e, UNNEST([
+              {entries}
+            ]) AS t(b)
+        """
 
 
 def _shingles_sql(c: str, n: int = 3) -> str:
@@ -968,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
               {{'band': 3, 'band_key': sig[7]::VARCHAR || '-' || sig[8]::VARCHAR}}
             ]) AS t(b)
         """,
+        "hyperplane_bands": _hyperplane_bands_sql(),
         "image_features": """
             WITH v AS (SELECT vec_id AS media_id,
                               CAST(embedding AS DOUBLE[]) AS v
