@@ -108,32 +108,32 @@ def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
 def _capped_bucket_pairs(
     banded: DataFrame, id_col: str, max_bucket_size: int
 ) -> tuple[DataFrame, DataFrame]:
-    """(pairs, sized) from banded(id, band, band_key) rows.
+    """(pairs, bucket_sizes) from banded(id, band, band_key) rows.
 
-    Bucket size + hub id come from a single window pass; the small
-    path (≤ max_bucket_size) explodes all in-bucket pairs, oversized
-    buckets emit O(n) star pairs to the bucket's min id — the pair
-    count, the per-task work and the collect_list array are all
-    bounded by the cap while connected-component clusters survive
-    intact. The groupBy after the window reuses the same hash
-    exchange on (band, band_key).
+    Small buckets (≤ max_bucket_size) explode all in-bucket pairs;
+    oversized ones emit O(n) star pairs to the bucket's min id — pair
+    count, per-task work AND collect_list arrays are all bounded by
+    the cap (oversized buckets are filtered out BEFORE the collect)
+    while connected-component clusters survive intact.
+
+    Shuffle discipline: ONE lineage, ONE shuffle (the band-key
+    groupBy), no sorts, no window, no broadcast — the pair mode is a
+    conditional expression over the collected bucket, so the expensive
+    upstream (e.g. MinHash signatures) executes exactly once.
+
+    Caveat, stated rather than hidden: the per-bucket id array in the
+    aggregation buffer is O(bucket size) — bounded-output star pairing
+    caps the *pair explosion*, not the array. A band key with millions
+    of members means millions of byte-identical/near-identical
+    documents sharing a signature band; run `exact_dedup` first (the
+    standard pipeline order) and such buckets collapse before LSH.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "band_key")
-    sized = banded.select(
-        id_col,
-        "band",
-        "band_key",
-        F.count("*").over(w).alias("__n"),
-        F.min(id_col).over(w).alias("__hub"),
-    )
     buckets = (
-        sized.where((F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size))
-        .groupBy("band", "band_key")
+        banded.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
-    pair_gen = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             "ids",
             lambda x, i: F.transform(
@@ -142,30 +142,34 @@ def _capped_bucket_pairs(
             ),
         )
     )
-    small_pairs = buckets.select(F.explode(pair_gen).alias("p")).select(
-        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    star_pairs = F.transform(
+        F.slice(F.col("ids"), 2, F.size("ids") - 1),
+        lambda y: F.struct(F.col("ids")[0].alias("id_a"), y.alias("id_b")),
     )
-    star_pairs = sized.where(
-        (F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__hub"))
-    ).select(F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b"))
-    return small_pairs.unionByName(star_pairs).distinct(), sized
+    pair_gen = F.when(
+        F.size("ids") <= max_bucket_size, all_pairs
+    ).otherwise(star_pairs)
+    pairs = (
+        buckets.select(F.explode(pair_gen).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    sizes = buckets.select("band", "band_key", F.size("ids").alias("__n"))
+    return pairs, sizes
 
 
-def _bucket_stats(sized: DataFrame, max_bucket_size: int) -> DataFrame:
-    """One row: total buckets, oversized buckets, ids inside them —
-    the 'what got star-capped' disclosure for LSH hygiene."""
-    return (
-        sized.groupBy("band", "band_key")
-        .agg(F.first("__n").alias("n"))
-        .agg(
-            F.count("*").alias("n_buckets"),
-            F.sum(
-                F.when(F.col("n") > max_bucket_size, 1).otherwise(0)
-            ).alias("n_oversize_buckets"),
-            F.sum(
-                F.when(F.col("n") > max_bucket_size, F.col("n")).otherwise(0)
-            ).alias("n_ids_in_oversize"),
-        )
+def _bucket_stats(sizes: DataFrame, max_bucket_size: int) -> DataFrame:
+    """One row: total (multi-member) buckets, oversized buckets, ids
+    inside them — the 'what got star-capped' disclosure for LSH
+    hygiene."""
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(
+            F.when(F.col("__n") > max_bucket_size, 1).otherwise(0)
+        ).alias("n_oversize_buckets"),
+        F.sum(
+            F.when(F.col("__n") > max_bucket_size, F.col("__n")).otherwise(0)
+        ).alias("n_ids_in_oversize"),
     )
 
 
