@@ -110,3 +110,36 @@ def test_host_agg_partial_aggregation(spark, pages_parquet):
     links = harvest_canonicalized(pages)
     plan = _plan(links.groupBy("host").agg(F.count("*").alias("n")))
     assert "partial_count" in plan  # map-side combine before shuffle
+
+
+def test_capped_lsh_single_shuffle_no_window(spark):
+    """The capped LSH pair generation must stay single-lineage: one
+    band-key exchange between the signature scan and the pair agg, no
+    Window/Sort (the conditional pair expression replaces them), and
+    no second execution branch over the signature pipeline."""
+    from warctools_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_lsh_candidates(docs, num_hashes=16, bands=4))
+    assert "Window" not in plan
+    assert "(1) Scan parquet" in plan and "(2) Scan parquet" not in plan
+    # exchanges: repartition + band groupBy + final distinct only
+    n_exchanges = plan.count("+- Exchange") + plan.count(": Exchange")
+    assert n_exchanges <= 3, plan[:2000]
+
+
+def test_bucketed_probe_plan_is_cogroup(spark):
+    """The default Bloom probe is a co-partitioned cogroup — the plan
+    shows FlatMapCoGroupsInPandas and never a row-wise Python eval."""
+    from warctools_spark.operators import seen as SEEN
+
+    cand = spark.range(100).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1")
+    )
+    keys = spark.range(50).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1")
+    )
+    bloom = SEEN.build_bloom(keys, n_buckets=4, m_bits=1 << 12, k_hashes=3)
+    plan = _plan(SEEN.probe_bucketed(cand, bloom, 4))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
