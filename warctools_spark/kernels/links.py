@@ -143,49 +143,76 @@ import html.parser as _hp
 _RISKY = re.compile(r"&|<!|<\?|<\s|<script|<style|\x00", re.IGNORECASE)
 
 
-def _fast_scan_starttags(body: str):
-    """Yield (tag, attrs) like HTMLParser.handle_starttag would, or
-    raise _FallBack if anything is not plainly understood."""
+# tags whose attributes can produce links (plus base/meta specials) —
+# attribute tokenization is skipped for every other tag, which is
+# semantics-preserving because the position advance depends only on
+# locatestarttagend and handle_starttag ignores non-table tags anyway
+_LINK_TAGS = frozenset(_TAG_ATTRS) | {"base", "meta"}
+
+
+def _fast_scan_links(body: str, base: str) -> tuple[list[str], str]:
+    """(links, base) exactly as _LinkCollector.feed would produce, or
+    raise _FallBack if anything is not plainly understood.
+
+    Tokenization uses html.parser's OWN tolerant regexes, so accepted
+    documents tokenize bit-identically; attrs are only parsed for the
+    ~20 link-bearing tags."""
     pos = 0
-    n = len(body)
-    out = []
+    links: list[str] = []
+    find = body.find
+    tag_end = _hp.locatestarttagend_tolerant.match
+    tagfind = _hp.tagfind_tolerant.match
+    attrfind = _hp.attrfind_tolerant.match
     while True:
-        lt = body.find("<", pos)
+        lt = find("<", pos)
         if lt < 0:
-            return out
+            return links, base
         nxt = body[lt + 1 : lt + 2]
         if nxt == "/":
-            gt = body.find(">", lt)
+            gt = find(">", lt)
             if gt < 0:
-                return out  # eof in tag: HTMLParser buffers + drops it
+                return links, base  # eof in tag: HTMLParser drops it
             pos = gt + 1
             continue
         if not nxt.isalpha():
             raise _FallBack()
-        m = _hp.locatestarttagend_tolerant.match(body, lt)
+        m = tag_end(body, lt)
         if not m:
             raise _FallBack()
         endpos = m.end()
         if body[endpos : endpos + 1] != ">" and body[endpos : endpos + 2] != "/>":
             # ill-formed start tag -> HTMLParser's recovery quirks
             raise _FallBack()
-        tm = _hp.tagfind_tolerant.match(body, lt + 1)
+        tm = tagfind(body, lt + 1)
         tag = tm.group(1).lower()
-        attrs = []
-        k = tm.end()
-        while k < endpos:
-            am = _hp.attrfind_tolerant.match(body, k)
-            if not am:
-                break
-            name, rest, value = am.group(1, 2, 3)
-            if not rest:
-                value = None
-            elif value[:1] == "'" == value[-1:] or value[:1] == '"' == value[-1:]:
-                value = value[1:-1]
-            # guard ensures no '&' anywhere, so unescape() is identity
-            attrs.append((name.lower(), value))
-            k = am.end()
-        out.append((tag, attrs))
+        if tag in _LINK_TAGS:
+            attrs = []
+            k = tm.end()
+            while k < endpos:
+                am = attrfind(body, k)
+                if not am:
+                    break
+                name, rest, value = am.group(1, 2, 3)
+                if not rest:
+                    value = None
+                elif (
+                    value[:1] == "'" == value[-1:]
+                    or value[:1] == '"' == value[-1:]
+                ):
+                    value = value[1:-1]
+                # guard ensures no '&' anywhere -> unescape() is identity
+                attrs.append((name.lower(), value))
+                k = am.end()
+            if tag == "base":
+                # warclinks.py:159-163 — last href wins
+                hrefs = [v for n, v in attrs if n == "href" and v]
+                if hrefs:
+                    base = hrefs[-1]
+            elif tag == "meta":
+                links.extend(_meta_urls(attrs))
+            else:
+                names = _TAG_ATTRS[tag]
+                links.extend(v for n, v in attrs if n in names and v)
         pos = endpos + (1 if body[endpos : endpos + 1] == ">" else 2)
 
 
@@ -206,8 +233,9 @@ def extract_links(base_url: str, body: bytes | str) -> list[str]:
         collector = _LinkCollector(base_url)
         if _RISKY.search(body) is None:
             try:
-                for tag, attrs in _fast_scan_starttags(body):
-                    collector.handle_starttag(tag, attrs)
+                collector.links, collector.base = _fast_scan_links(
+                    body, base_url
+                )
             except _FallBack:
                 collector = _LinkCollector(base_url)
                 collector.feed(body)
