@@ -149,6 +149,22 @@ _RISKY = re.compile(r"&|<!|<\?|<\s|<script|<style|\x00", re.IGNORECASE)
 # locatestarttagend and handle_starttag ignores non-table tags anyway
 _LINK_TAGS = frozenset(_TAG_ATTRS) | {"base", "meta"}
 
+# locatestarttagend_tolerant with a capture group added around the tag
+# name, derived FROM the stdlib patterns at import (fails loudly if a
+# python version changes them) — one C-regex call yields both the tag
+# end and the name, replacing the separate tagfind match per tag
+_NAME_TXT = _hp.tagfind_tolerant.pattern[1:].split(")")[0]
+assert "<" + _NAME_TXT in _hp.locatestarttagend_tolerant.pattern
+_TAG_END_NAMED = re.compile(
+    _hp.locatestarttagend_tolerant.pattern.replace(
+        "<" + _NAME_TXT, "<(" + _NAME_TXT + ")", 1
+    ),
+    _hp.locatestarttagend_tolerant.flags,
+)
+# tagfind_tolerant's trailing skip, applied after the name to position
+# the attr loop exactly where tagfind.end() used to
+_POST_NAME = re.compile(_hp.tagfind_tolerant.pattern.split(")", 1)[1])
+
 
 def _fast_scan_links(body: str, base: str) -> tuple[list[str], str]:
     """(links, base) exactly as _LinkCollector.feed would produce, or
@@ -160,8 +176,8 @@ def _fast_scan_links(body: str, base: str) -> tuple[list[str], str]:
     pos = 0
     links: list[str] = []
     find = body.find
-    tag_end = _hp.locatestarttagend_tolerant.match
-    tagfind = _hp.tagfind_tolerant.match
+    tag_end = _TAG_END_NAMED.match
+    post_name = _POST_NAME.match
     attrfind = _hp.attrfind_tolerant.match
     while True:
         lt = find("<", pos)
@@ -183,11 +199,10 @@ def _fast_scan_links(body: str, base: str) -> tuple[list[str], str]:
         if body[endpos : endpos + 1] != ">" and body[endpos : endpos + 2] != "/>":
             # ill-formed start tag -> HTMLParser's recovery quirks
             raise _FallBack()
-        tm = tagfind(body, lt + 1)
-        tag = tm.group(1).lower()
+        tag = m.group(1).lower()
         if tag in _LINK_TAGS:
             attrs = []
-            k = tm.end()
+            k = post_name(body, m.end(1)).end()
             while k < endpos:
                 am = attrfind(body, k)
                 if not am:
