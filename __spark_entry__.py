@@ -545,6 +545,21 @@ def _q_lsh_band_buckets(spark, sf_dir):
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """LSH candidate pairs -> connected components: (doc_id,
+    cluster_id=min reachable id). Star-capping in the pair generator
+    does not change connectivity, so the oracle replays plain all-pairs
+    closure with a recursive CTE."""
+    from warctools_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    return dup_clusters(pairs, docs)
+
+
 def _q_hyperplane_bands(spark, sf_dir):
     """Banded random-hyperplane LSH keys over the embedding corpus —
     the bucket keys driving embedding_cosine_pairs, fully replayable
@@ -646,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_hourly": _q_events_hourly,
         "lsh_band_buckets": _q_lsh_band_buckets,
+        "dedup_clusters": _q_dedup_clusters,
         "hyperplane_bands": _q_hyperplane_bands,
         "image_features": _q_image_features,
         "unpack_paths": _q_unpack_paths,
@@ -1020,6 +1036,37 @@ def oracle_sql() -> dict[str, str]:
               {{'band': 2, 'band_key': sig[5]::VARCHAR || '-' || sig[6]::VARCHAR}},
               {{'band': 3, 'band_key': sig[7]::VARCHAR || '-' || sig[8]::VARCHAR}}
             ]) AS t(b)
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE hsrc AS (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
+                      % 2147483647 for sh in {sh}] AS hs
+              FROM documents
+            ),
+            sig AS (SELECT doc_id, [{minhash_cols}] AS sig FROM hsrc),
+            banded AS (
+              SELECT doc_id, t.b['band'] AS band, t.b['band_key'] AS band_key
+              FROM sig, UNNEST([
+                {{'band': 0, 'band_key': sig[1]::VARCHAR || '-' || sig[2]::VARCHAR}},
+                {{'band': 1, 'band_key': sig[3]::VARCHAR || '-' || sig[4]::VARCHAR}},
+                {{'band': 2, 'band_key': sig[5]::VARCHAR || '-' || sig[6]::VARCHAR}},
+                {{'band': 3, 'band_key': sig[7]::VARCHAR || '-' || sig[8]::VARCHAR}}
+              ]) AS t(b)
+            ),
+            edges AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id <> b.doc_id
+            ),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src
         """,
         "hyperplane_bands": _hyperplane_bands_sql(),
         "image_features": """

@@ -220,3 +220,29 @@ def test_robots_frontier_gate(spark):
     delays = {r["canon_url"]: r["crawl_delay_ms"] for r in allowed.collect()}
     assert delays["http://a.example/ok"] == 1000
     assert delays["http://c.example/no-robots"] == 0
+
+
+def test_dup_clusters_connected_components(spark):
+    """Chains resolve transitively to the min id; singletons cluster
+    to themselves; star-capped pairs give identical clusters to
+    all-pairs (same connectivity)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8)], "id_a long, id_b long"
+    )
+    verts = spark.range(1, 11).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dup_clusters(pairs, verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 7, 8: 7, 9: 7, 10: 10}
+
+    # a long chain needs multiple propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 29)], "id_a long, id_b long"
+    )
+    verts2 = spark.range(20, 30).select(F.col("id").alias("doc_id"))
+    got2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dup_clusters(chain, verts2).collect()
+    }
+    assert all(v == 20 for v in got2.values())

@@ -414,3 +414,66 @@ def embedding_cosine_pairs(
     if not return_stats:
         return scored
     return scored, _bucket_stats(sized, max_bucket_size)
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate pairs into clusters: (id, cluster_id)
+    where cluster_id is the minimum id reachable through the pair
+    graph — the canonical representative downstream keep-one dedup
+    uses. Vertices with no pair cluster to themselves.
+
+    Min-label propagation: each round every node takes the min label
+    among itself and its neighbors (one join + one min-agg shuffle,
+    both on the node key). Convergence is O(graph diameter) rounds —
+    near-dup clusters are stars/short chains from LSH buckets, so 2-4
+    rounds in practice; `max_iter` bounds adversarial chains. Labels
+    are localCheckpoint()ed per round to keep the plan depth flat
+    (same discipline as the crawl epoch loop). The convergence check
+    rides the checkpoint action as an observe() aggregate — no extra
+    job per round.
+    """
+    from pyspark.sql import Observation
+
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        vertices.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "src"), on="src"
+        ).select(F.col("dst").alias("node"), "label")
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        obs = Observation()
+        delta = merged.join(
+            labels.select("node", F.col("label").alias("old")), on="node"
+        ).select(
+            "node",
+            "label",
+            (F.col("label") != F.col("old")).cast("int").alias("chg"),
+        )
+        new_labels = delta.observe(obs, F.sum("chg").alias("changed")).select(
+            "node", "label"
+        ).localCheckpoint(eager=True)
+        labels = new_labels
+        if not obs.get["changed"]:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
