@@ -101,3 +101,61 @@ def test_unpack_log_and_point_lookup(spark):
     assert extract_payload(records, "f.warc", 999).count() == 0
     summary = record_summary(records).collect()[0]
     assert "content_preview" in summary.asDict()
+
+
+def test_unpack_to_files_sink(spark, tmp_path):
+    """The filesystem sink (warcunpack_ia.py:104-121): 2xx bodies land
+    at their sanitized paths, transfer decoding applied, collisions as
+    deterministic .dupN suffixes, log rows = manifest."""
+    from warctools_spark.operators.unpack import unpack_to_files
+    from warctools_spark.sources.warc import read_warc
+
+    body1 = b"<html>first</html>"
+    body2 = b"<html>second copy</html>"
+    chunked = b"6\r\n<html>\r\n5\r\nthird\r\n7\r\n</html>\r\n0\r\n\r\n"
+
+    def rec(rid, url, http):
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:0000000000000000000000000000" + rid + b">\r\n"
+            b"WARC-Date: 2013-11-15T00:00:01Z\r\n"
+            b"WARC-Target-URI: " + url + b"\r\n"
+            b"Content-Type: application/http;msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+
+    def http_clen(body):
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+            + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+
+    http3 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    data = (
+        rec(b"0001", b"http://fs.example/a.html", http_clen(body1))
+        + rec(b"0002", b"http://fs.example/a.html", http_clen(body2))
+        + rec(b"0003", b"http://fs.example/sub/c.html", http3)
+    )
+    f = tmp_path / "unpack.warc"
+    f.write_bytes(data)
+    out = tmp_path / "out"
+
+    written = unpack_to_files(read_warc(spark, str(f)), str(out)).collect()
+    assert len(written) == 3
+    by_path = {r["written_path"]: r for r in written}
+    assert set(by_path) == {
+        "http/fs.example/a.html",
+        "http/fs.example/a.html.dup1",
+        "http/fs.example/sub/c.html",
+    }
+    assert (out / "http/fs.example/a.html").read_bytes() == body1
+    assert (out / "http/fs.example/a.html.dup1").read_bytes() == body2
+    # chunked transfer decoding applied before the write
+    assert (out / "http/fs.example/sub/c.html").read_bytes() == b"<html>third</html>"
+    assert by_path["http/fs.example/sub/c.html"]["n_bytes"] == len(
+        b"<html>third</html>"
+    )

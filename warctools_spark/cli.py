@@ -261,10 +261,20 @@ def cmd_warcunpack(args):
     from pyspark.sql import functions as F
 
     from warctools_spark.operators.archive_ops import http_triage
-    from warctools_spark.operators.unpack import unpack_log
+    from warctools_spark.operators.unpack import unpack_log, unpack_to_files
 
     spark = _spark(args.cpus)
     recs = _records(spark, args.inputs)
+    if args.output_dir:
+        written = unpack_to_files(
+            recs, args.output_dir, collection_id=args.collection or ""
+        )
+        for r in written.orderBy("out_path", "dup_rank").toLocalIterator():
+            print(
+                "%s %s %s %s"
+                % (r["url"], r["mime"], r["written_path"], r["wayback_uri"] or "-")
+            )
+        return 0
     triaged = http_triage(recs).join(
         recs.select("source_file", "offset", "warc_date"),
         on=["source_file", "offset"],
@@ -338,6 +348,10 @@ def main(argv=None):
 
     s = sub.add_parser("warcunpack")
     s.add_argument("--collection")
+    s.add_argument(
+        "-o", "--output-dir", dest="output_dir",
+        help="actually write payload files (omit for log-only)",
+    )
     s.add_argument("inputs", nargs="+")
     s.set_defaults(fn=cmd_warcunpack)
 

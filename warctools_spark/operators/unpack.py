@@ -130,3 +130,82 @@ def record_summary(records: DataFrame, max_content: int = 1024) -> DataFrame:
         esc.alias("content_preview"),
         "errors",
     )
+
+
+UNPACK_WRITE_SCHEMA = (
+    "url string, mime string, out_path string, wayback_uri string, "
+    "dup_rank int, written_path string, n_bytes long"
+)
+
+
+def unpack_to_files(
+    records: DataFrame,
+    output_dir: str,
+    collection_id: str = "",
+    wayback_prefix: str = "http://wayback/",
+) -> DataFrame:
+    """The actual filesystem sink of warcunpack_ia
+    (warcunpack_ia.py:104-121): write each 2xx http response body
+    (transfer decoding + inflate applied — message.get_body()) to its
+    sanitized path under `output_dir`, returning the log rows plus
+    what was written where.
+
+    Distributed shape: the dup_rank window (one shuffle on out_path)
+    resolves cross-partition collisions BEFORE the write, so each task
+    writes a disjoint set of final paths — no executor coordination,
+    no uuid4 non-determinism (collisions become deterministic
+    `.dupN` suffixes instead of the reference's uuid names,
+    warcunpack_ia.py:186-192). Writes go through plain POSIX paths:
+    on a cluster, point output_dir at a shared filesystem mount; the
+    log DataFrame is the durable manifest either way.
+    """
+    import os
+
+    from warctools_spark.operators.archive_ops import http_triage
+
+    triaged = http_triage(records).join(
+        records.select("source_file", "offset", "warc_date"),
+        on=["source_file", "offset"],
+    )
+    log = unpack_log(triaged, collection_id, wayback_prefix).select(
+        "url", "mime", "out_path", "wayback_uri", "dup_rank", "decoded_body"
+    )
+
+    def write_batch(batches):
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "url",
+                    "mime",
+                    "out_path",
+                    "wayback_uri",
+                    "dup_rank",
+                    "written_path",
+                    "n_bytes",
+                )
+            }
+            for url, mime, path, wb, rank, body in zip(
+                pdf["url"],
+                pdf["mime"],
+                pdf["out_path"],
+                pdf["wayback_uri"],
+                pdf["dup_rank"],
+                pdf["decoded_body"],
+            ):
+                final = path if not rank else "%s.dup%d" % (path, rank)
+                dest = os.path.join(output_dir, final)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                data = bytes(body) if body is not None else b""
+                with open(dest, "wb") as fh:
+                    fh.write(data)
+                out["url"].append(url)
+                out["mime"].append(mime)
+                out["out_path"].append(path)
+                out["wayback_uri"].append(wb)
+                out["dup_rank"].append(rank)
+                out["written_path"].append(final)
+                out["n_bytes"].append(len(data))
+            yield pd.DataFrame(out)
+
+    return log.mapInPandas(write_batch, UNPACK_WRITE_SCHEMA)
