@@ -249,6 +249,7 @@ def two_tier_dedup(
     n_buckets: int = 32,
     fpr: float = 0.01,
     probe_mode: str = "bucketed",
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Exact frontier \\ seen with the Bloom fast path.
 
@@ -258,8 +259,15 @@ def two_tier_dedup(
     probe_mode "bucketed" (default) co-partitions candidates with the
     filter table — the scale path; "broadcast" collects the filter to
     the driver and broadcasts it — only sane for small seen sets.
+
+    Pass a prebuilt `bloom` table (e.g. incrementally maintained via
+    union_blooms across epochs) to skip the O(|seen|) rebuild. It MUST
+    cover at least the keys of `seen` — extra keys only cost false
+    positives (exactness holds: tier 2 verifies every positive), but a
+    missing key would leak a duplicate.
     """
-    bloom = build_bloom(seen, n_buckets=n_buckets, fpr=fpr)
+    if bloom is None:
+        bloom = build_bloom(seen, n_buckets=n_buckets, fpr=fpr)
     if probe_mode == "bucketed":
         probed = probe_bucketed(candidates, bloom, n_buckets)
     elif probe_mode == "broadcast":

@@ -82,6 +82,7 @@ def run_epoch(
     n_buckets: int = 32,
     materialize: bool = True,
     full_metrics: bool = False,
+    bloom: DataFrame | None = None,
 ) -> EpochResult:
     """One frontier epoch. With materialize=True (default) the output
     state is localCheckpoint()ed: epoch N+1 starts from materialized
@@ -128,10 +129,15 @@ def run_epoch(
         how="inner",
     ).withColumn("depth", F.col("depth") + 1)
 
-    # 4. dedup: within epoch, then against seen
+    # 4. dedup: within epoch, then against seen. A caller-supplied
+    # bloom table (incrementally maintained across epochs) skips the
+    # per-epoch rebuild over the whole seen set — at 10^10 keys the
+    # rebuild, not the probe, would dominate the epoch.
     cand = FR.dedup_within_epoch(links)
-    if use_bloom:
-        fresh = SEEN.two_tier_dedup(spark, cand, seen, n_buckets=n_buckets)
+    if use_bloom or bloom is not None:
+        fresh = SEEN.two_tier_dedup(
+            spark, cand, seen, n_buckets=n_buckets, bloom=bloom
+        )
     else:
         fresh = FR.dedup_against_seen(cand, seen)
 
@@ -216,6 +222,9 @@ def run_crawl(
     compact_every: int = 8,
     start_epoch: int = 0,
     initial_state: tuple[DataFrame, DataFrame] | None = None,
+    bloom_n_buckets: int = 32,
+    bloom_capacity_per_bucket: int = 1 << 16,
+    bloom_fpr: float = 0.01,
 ) -> list[dict]:
     """Multi-epoch crawl loop with optional snapshot checkpointing.
 
@@ -225,11 +234,32 @@ def run_crawl(
     deltas fold into a new base. The manifest records exactly which
     parts constitute seen@epoch, so resume is exact. Pass
     (start_epoch, initial_state) from resume_state() to continue a
-    checkpointed crawl. Returns per-epoch metrics."""
+    checkpointed crawl. Returns per-epoch metrics.
+
+    With use_bloom the Bloom table is maintained INCREMENTALLY:
+    (m, k) are fixed up front from bloom_capacity_per_bucket, the
+    filter is built once over the initial seen set, and each epoch
+    ORs in a small Bloom over that epoch's fresh keys (Bloom union ==
+    set union) — the per-epoch cost is O(|fresh|), never the
+    O(|seen|) rebuild that would dominate at 10^10 keys. Size
+    bloom_capacity_per_bucket for the crawl's target seen size; the
+    capacity only affects the false-positive rate (tier 2 stays
+    exact)."""
     if initial_state is not None:
         queue, seen = initial_state
     else:
         queue, seen = init_state(seeds)
+    bloom = None
+    if use_bloom:
+        m_bits, k_hashes = SEEN.optimal_params(
+            bloom_capacity_per_bucket, bloom_fpr
+        )
+        bloom = SEEN.build_bloom(
+            seen,
+            n_buckets=bloom_n_buckets,
+            m_bits=m_bits,
+            k_hashes=k_hashes,
+        ).localCheckpoint(eager=True)
     all_metrics = []
     for e in range(start_epoch, start_epoch + epochs):
         result = run_epoch(
@@ -242,7 +272,19 @@ def run_crawl(
             robots=robots,
             use_bloom=use_bloom,
             hot_host_threshold=hot_host_threshold,
+            n_buckets=bloom_n_buckets,
+            bloom=bloom,
         )
+        if use_bloom:
+            delta_bloom = SEEN.build_bloom(
+                result.fresh_seen,
+                n_buckets=bloom_n_buckets,
+                m_bits=m_bits,
+                k_hashes=k_hashes,
+            )
+            bloom = SEEN.union_blooms(bloom, delta_bloom).localCheckpoint(
+                eager=True
+            )
         queue = result.queue
         if catalog is not None:
             # delta = what this epoch added to seen; epoch 0 also owns
