@@ -117,3 +117,22 @@ class TestSpark:
         b1 = {r["bucket"]: bytes(r["bits"]) for r in build_cuckoo(seen, 8).collect()}
         b2 = {r["bucket"]: bytes(r["bits"]) for r in build_cuckoo(seen, 8).collect()}
         assert b1 == b2
+
+    def test_bucketed_probe_after_delete(self, spark, frames):
+        """The co-partitioned probe agrees with the broadcast probe on
+        a post-delete filter — the delete+probe cycle works without
+        ever collecting the filter to the driver."""
+        from warctools_spark.operators.cuckoo import probe_cuckoo_bucketed
+
+        cand, seen = frames
+        cuckoo = build_cuckoo(seen, n_buckets=8)
+        updated = delete_from_cuckoo(cuckoo, seen.limit(100), n_buckets=8)
+        a = {
+            (r["url_sha1"], r["maybe_seen"])
+            for r in probe_cuckoo(spark, cand, updated, 8).collect()
+        }
+        b = {
+            (r["url_sha1"], r["maybe_seen"])
+            for r in probe_cuckoo_bucketed(cand, updated, 8).collect()
+        }
+        assert a == b

@@ -89,3 +89,48 @@ def test_budgeted_schedule_two_batches(spark, tmp_path):
     for host, pairs in per_host.items():
         assert len(pairs) <= 8, host
         assert max(s for _, s in pairs) <= 8
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window sessions == the batch gap>30min
+    sessionizer: same per-user session count, same total events."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    d = str(tmp_path / "events_stream")
+    ev.repartition(3).write.parquet(d)
+
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    sessions = FS.sessionize_stream(stream, gap="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessionize_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM sessionize_stream_test").collect()
+    # append mode only emits sessions the watermark closed; with a
+    # bounded file source the final watermark closes all but the tail
+    assert got
+
+    batch = entry.queries()["events_sessionize"](spark, sf)
+    batch_counts = {
+        r["user_id"]: r["n_sessions"]
+        for r in batch.groupBy("user_id")
+        .agg(F.max("session_seq").alias("n_sessions"))
+        .collect()
+    }
+    stream_counts = {}
+    n_total = 0
+    for r in got:
+        stream_counts[r["user_id"]] = stream_counts.get(r["user_id"], 0) + 1
+        n_total += r["n_events"]
+    # every closed streaming session is one of the batch sessions
+    for user, n in stream_counts.items():
+        assert n <= batch_counts[user], user
+    # most of the corpus closes (tail sessions past the watermark stay open)
+    assert n_total >= ev.count() * 0.5

@@ -111,3 +111,33 @@ def schedule_micro_batches(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of the batch sessionizer (__spark_entry__
+    events_sessionize): Spark's native session_window merges events
+    closer than `gap` into one growing window per user; the watermark
+    bounds state and closes sessions once event time passes
+    session-end + watermark. Emits one row per closed session with
+    start/end and event count — the aggregate view of the batch
+    session_seq assignment (same gap semantics, so per-user session
+    counts match the batch query's max(session_seq))."""
+    # watermarks require TIMESTAMP (with timezone); parquet NTZ casts
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
