@@ -386,6 +386,38 @@ def _q_tpch_q3ish(spark, sf_dir):
     )
 
 
+def _q_tpch_q5ish(spark, sf_dir):
+    """Q5-style multi-join: revenue per nation for one region — six
+    tables, dims broadcast, one agg shuffle. TPC-H Q5 drops the
+    c_nationkey = s_nationkey clause (the synthetic corpus has no
+    aligned customer/supplier nations)."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def _q_events_sessionize(spark, sf_dir):
     """Stateful sessionization via gap>30min window — the batch
     equivalent of the streaming session operator."""
@@ -658,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3ish": _q_tpch_q3ish,
+        "tpch_q5ish": _q_tpch_q5ish,
         "events_sessionize": _q_events_sessionize,
         "events_hourly": _q_events_hourly,
         "lsh_band_buckets": _q_lsh_band_buckets,
@@ -1004,6 +1037,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY o_orderkey
             ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "tpch_q5ish": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "events_sessionize": """
             SELECT event_id, user_id,
