@@ -592,6 +592,33 @@ def _q_dedup_clusters(spark, sf_dir):
     return dup_clusters(pairs, docs)
 
 
+def _q_dedup_survivors(spark, sf_dir):
+    """The full near-dup pipeline as one query: MinHash LSH candidate
+    pairs -> exact n-gram Jaccard verify (>= 0.8) -> connected
+    components -> keep the min id per cluster. This is the
+    keep-one-copy projection a training-data pipeline feeds the
+    tokenizer. (Star-capped pairs could in principle verify
+    differently from all-pairs on degenerate corpora; no bucket
+    exceeds the cap at oracle scale.)"""
+    from warctools_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_candidates,
+        ngram_jaccard,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    verified = (
+        ngram_jaccard(docs, pairs)
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    clusters = dup_clusters(verified, docs)
+    return clusters.where(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+
+
 def _q_hyperplane_bands(spark, sf_dir):
     """Banded random-hyperplane LSH keys over the embedding corpus —
     the bucket keys driving embedding_cosine_pairs, fully replayable
@@ -695,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "lsh_band_buckets": _q_lsh_band_buckets,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
         "hyperplane_bands": _q_hyperplane_bands,
         "image_features": _q_image_features,
         "unpack_paths": _q_unpack_paths,
@@ -1114,6 +1142,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS doc_id, min(dst) AS cluster_id
             FROM reach GROUP BY src
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE sdocs AS (
+              SELECT doc_id, {sh} AS shg FROM documents
+            ),
+            hsrc AS (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+                      % 2147483647 for x in {sh}] AS hs
+              FROM documents
+            ),
+            sig AS (SELECT doc_id, [{minhash_cols}] AS sig FROM hsrc),
+            banded AS (
+              SELECT doc_id, t.b['band'] AS band, t.b['band_key'] AS band_key
+              FROM sig, UNNEST([
+                {{'band': 0, 'band_key': sig[1]::VARCHAR || '-' || sig[2]::VARCHAR}},
+                {{'band': 1, 'band_key': sig[3]::VARCHAR || '-' || sig[4]::VARCHAR}},
+                {{'band': 2, 'band_key': sig[5]::VARCHAR || '-' || sig[6]::VARCHAR}},
+                {{'band': 3, 'band_key': sig[7]::VARCHAR || '-' || sig[8]::VARCHAR}}
+              ]) AS t(b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            ver AS (
+              SELECT id_a, id_b
+              FROM cand
+              JOIN sdocs sa ON sa.doc_id = id_a
+              JOIN sdocs sb ON sb.doc_id = id_b
+              WHERE len(list_intersect(sa.shg, sb.shg))
+                    / len(list_distinct(sa.shg || sb.shg)) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM ver
+              UNION ALL SELECT id_b, id_a FROM ver
+            ),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS doc_id FROM reach
+            GROUP BY src HAVING min(dst) = src
         """,
         "hyperplane_bands": _hyperplane_bands_sql(),
         "image_features": """
