@@ -133,3 +133,22 @@ def test_resize_and_frame_sample(media, spark):
     assert (d["width"], d["height"]) == (4, 4)
     frames = MM.frame_sample_stub(media.limit(5), every_n=10)
     assert frames.count() == 5 * 3
+
+
+def test_audio_features(spark):
+    """AUD1 plumbing: synthesize from embeddings, decode, features."""
+    from warctools_spark.operators.multimodal import (
+        audio_features,
+        synthesize_audio,
+    )
+
+    audio = synthesize_audio(spark, SF_DIR)
+    feats = audio_features(audio)
+    rows = feats.collect()
+    assert len(rows) == spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    for r in rows[:20]:
+        assert r["sample_rate"] == 16000
+        assert r["n_samples"] == 64
+        assert 0 < r["rms"] <= 1.0
+        assert abs(r["peak"] - 1.0) < 1e-3  # scaled to full scale
+        assert 0 <= r["zcr"] <= 1

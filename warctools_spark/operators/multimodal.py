@@ -211,3 +211,104 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(gen, "media_id long, frame_no int, frame binary")
+
+
+# ---- audio ----
+
+def encode_aud1(sample_rate: int, payload: bytes) -> bytes:
+    """Fake audio container: 'AUD1' + u32 sample rate + s16le PCM."""
+    return b"AUD1" + struct.pack(">I", sample_rate) + payload
+
+
+def _decode_aud1(blob: bytes) -> dict:
+    if blob[:4] != b"AUD1" or len(blob) < 8:
+        raise ValueError("not an AUD1 blob")
+    (rate,) = struct.unpack(">I", blob[4:8])
+    return {"sample_rate": rate, "pcm": blob[8:]}
+
+
+def _decode_real_audio(blob: bytes) -> dict:
+    raise NotImplementedError(
+        "real audio codecs (wav/mp3/flac) are not available in this "
+        "container; register_codec('audio', fn) with a soundfile-backed "
+        "decoder in production"
+    )
+
+
+register_codec("aud1", _decode_aud1)
+register_codec("audio", _decode_real_audio)
+
+
+def synthesize_audio(spark, sf_dir: str, sample_rate: int = 16000) -> DataFrame:
+    """Deterministic audio table from the embeddings parquet: each
+    vector becomes an AUD1 blob whose s16 PCM samples are the scaled
+    embedding — same no-external-data rule as synthesize_media."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "blob": [], "meta": []}
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                arr = np.asarray(vec, dtype=np.float64)
+                peak = np.abs(arr).max() or 1.0
+                pcm = (arr / peak * 32767.0).astype("<i2")
+                blob = encode_aud1(sample_rate, pcm.tobytes())
+                rows["media_id"].append(int(vid))
+                rows["kind"].append("aud1")
+                rows["blob"].append(blob)
+                rows["meta"].append(
+                    {"mime": "audio/x-aud1", "bytes": len(blob)}
+                )
+            yield pd.DataFrame(rows)
+
+    return emb.mapInPandas(
+        gen,
+        "media_id long, kind string, blob binary, "
+        "meta struct<mime:string, bytes:long>",
+    )
+
+
+def audio_features(media: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Per-clip features over the decoded PCM: duration, RMS, peak,
+    zero-crossing rate — the audio twin of image_features; numpy over
+    Arrow batches, no per-row Python beyond the codec seam."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_s": [],
+                "rms": [],
+                "peak": [],
+                "zcr": [],
+            }
+            for mid, kind, blob in zip(
+                pdf["media_id"], pdf["kind"], pdf["blob"]
+            ):
+                dec = _codecs[kind](bytes(blob))
+                pcm = np.frombuffer(dec["pcm"], dtype="<i2").astype(
+                    np.float64
+                ) / 32768.0
+                n = len(pcm)
+                rate = int(dec["sample_rate"])
+                zc = (
+                    float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(n / rate if rate else 0.0)
+                rows["rms"].append(float(np.sqrt(np.mean(pcm**2))) if n else 0.0)
+                rows["peak"].append(float(np.abs(pcm).max()) if n else 0.0)
+                rows["zcr"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        feats,
+        "media_id long, sample_rate int, n_samples int, duration_s double, "
+        "rms double, peak double, zcr double",
+    )
