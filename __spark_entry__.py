@@ -386,6 +386,29 @@ def _q_tpch_q3ish(spark, sf_dir):
     )
 
 
+def _q_politeness_budgeted(spark, sf_dir):
+    """Crawl-delay budget windows (robots Crawl-delay semantics): a
+    host allows min(k, epoch_ms/crawl_delay) fetches per epoch. The
+    delay is derived deterministically from the host's md5 so the
+    oracle can replay the budget arithmetic."""
+    from warctools_spark.operators.frontier import (
+        politeness_schedule_budgeted,
+    )
+
+    cand = _candidates(spark, sf_dir)
+    delay = 100 * (
+        1
+        + F.pmod(
+            F.conv(F.substring(F.md5("host"), 1, 2), 16, 10).cast("int"),
+            F.lit(40),
+        )
+    )
+    queued = cand.withColumn("crawl_delay_ms", delay)
+    return politeness_schedule_budgeted(queued, 8, epoch_ms=3000).select(
+        "host", "canon_url"
+    )
+
+
 def _q_tpch_q5ish(spark, sf_dir):
     """Q5-style multi-join: revenue per nation for one region — six
     tables, dims broadcast, one agg shuffle. TPC-H Q5 drops the
@@ -701,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harvest_links": _q_harvest_links,
         "frontier_candidates": _q_frontier_candidates,
         "politeness_topk": _q_politeness_topk,
+        "politeness_budgeted": _q_politeness_budgeted,
         "politeness_topk_salted": _q_politeness_topk_salted,
         "host_agg": _q_host_agg,
         "seen_antijoin": _q_seen_antijoin,
@@ -918,6 +942,23 @@ def oracle_sql() -> dict[str, str]:
                          AS rn
               FROM cand
             ) WHERE rn <= {TOPK}
+        """,
+        "politeness_budgeted": _CAND_CTE
+        + """
+            SELECT host, canon_url FROM (
+              SELECT host, canon_url,
+                     row_number() OVER (PARTITION BY host ORDER BY canon_url)
+                         AS rn,
+                     least(8, CASE WHEN d > 0
+                              THEN greatest(1, trunc(3000.0 / d)::INT)
+                              ELSE 8 END) AS budget
+              FROM (
+                SELECT host, canon_url,
+                       100 * (1 + CAST(('0x' || substr(md5(host), 1, 2))
+                                       AS INT) % 40) AS d
+                FROM cand
+              )
+            ) WHERE rn <= budget
         """,
         "host_agg": _CAND_CTE
         + """
