@@ -615,6 +615,15 @@ def _q_dedup_clusters(spark, sf_dir):
     return dup_clusters(pairs, docs)
 
 
+def _q_training_corpus(spark, sf_dir):
+    """The composed corpus-preparation pipeline end-to-end: quality
+    gate -> language gate -> exact dedup -> LSH near-dup survivors,
+    every stage oracle-replayable."""
+    from warctools_spark.plans.corpus import prepare_training_corpus
+
+    return prepare_training_corpus(_docs(spark, sf_dir))
+
+
 def _q_dedup_survivors(spark, sf_dir):
     """The full near-dup pipeline as one query: MinHash LSH candidate
     pairs -> exact n-gram Jaccard verify (>= 0.8) -> connected
@@ -747,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_buckets": _q_lsh_band_buckets,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_survivors": _q_dedup_survivors,
+        "training_corpus": _q_training_corpus,
         "hyperplane_bands": _q_hyperplane_bands,
         "image_features": _q_image_features,
         "unpack_paths": _q_unpack_paths,
@@ -1183,6 +1193,91 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS doc_id, min(dst) AS cluster_id
             FROM reach GROUP BY src
+        """,
+        "training_corpus": f"""
+            WITH RECURSIVE q AS (
+              SELECT doc_id,
+                     round(least(n_tokens, 100) * 0.3
+                       + (n_distinct_tokens / greatest(n_tokens, 1)) * 30
+                       + (n_stop / greatest(n_tokens, 1)) * 100 * 0.2
+                       + (1 - least((n_punct / greatest(n_chars2, 1)) * 5,
+                                    1.0)) * 20, 4) AS quality_score
+              FROM (
+                SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS n_tokens,
+                  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                  len(list_distinct(regexp_split_to_array(trim(text),
+                                                          '\\s+')))
+                      AS n_distinct_tokens,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                        '\\s+'),
+                      t -> list_contains(['the','and','of','to','a','in',
+                                          'is','that'], t))) AS n_stop,
+                  length(text) AS n_chars2
+                FROM documents
+              )
+            ),
+            l AS (SELECT doc_id, {_lang_sql()} AS lang_pred FROM documents),
+            gated AS (
+              SELECT d.doc_id, d.text, l.lang_pred, q.quality_score
+              FROM documents d
+              JOIN q USING (doc_id) JOIN l USING (doc_id)
+              WHERE q.quality_score >= 50 AND l.lang_pred IN ('en')
+            ),
+            kept AS (
+              SELECT g.* FROM gated g
+              JOIN (
+                SELECT min(doc_id) AS doc_id
+                FROM (SELECT doc_id, md5({_NORM.format(c="text")}) AS cm
+                      FROM gated)
+                GROUP BY cm
+              ) k USING (doc_id)
+            ),
+            sdocs AS (SELECT doc_id, {sh} AS shg FROM kept),
+            hsrc AS (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+                      % 2147483647 for x in {sh}] AS hs
+              FROM kept
+            ),
+            sig AS (SELECT doc_id, [{minhash_cols}] AS sig FROM hsrc),
+            banded AS (
+              SELECT doc_id, t.b['band'] AS band, t.b['band_key'] AS band_key
+              FROM sig, UNNEST([
+                {{'band': 0, 'band_key': sig[1]::VARCHAR || '-' || sig[2]::VARCHAR}},
+                {{'band': 1, 'band_key': sig[3]::VARCHAR || '-' || sig[4]::VARCHAR}},
+                {{'band': 2, 'band_key': sig[5]::VARCHAR || '-' || sig[6]::VARCHAR}},
+                {{'band': 3, 'band_key': sig[7]::VARCHAR || '-' || sig[8]::VARCHAR}}
+              ]) AS t(b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            ver AS (
+              SELECT id_a, id_b FROM cand
+              JOIN sdocs sa ON sa.doc_id = id_a
+              JOIN sdocs sb ON sb.doc_id = id_b
+              WHERE len(list_intersect(sa.shg, sb.shg))
+                    / len(list_distinct(sa.shg || sb.shg)) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM ver
+              UNION ALL SELECT id_b, id_a FROM ver
+            ),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM kept
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT k.doc_id, k.lang_pred, k.quality_score
+            FROM kept k
+            JOIN (SELECT src FROM reach GROUP BY src
+                  HAVING min(dst) = src) s ON s.src = k.doc_id
         """,
         "dedup_survivors": f"""
             WITH RECURSIVE sdocs AS (

@@ -246,3 +246,19 @@ def test_dup_clusters_connected_components(spark):
         for r in D.dup_clusters(chain, verts2).collect()
     }
     assert all(v == 20 for v in got2.values())
+
+
+def test_prepare_training_corpus(spark):
+    """Composed pipeline: gates prune, dedup keeps one per cluster,
+    survivors carry their lang/quality columns."""
+    from warctools_spark.plans.corpus import prepare_training_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = prepare_training_corpus(docs).cache()
+    n_docs, n_out = docs.count(), out.count()
+    assert 0 < n_out < n_docs
+    rows = out.collect()
+    assert all(r["quality_score"] >= 50 for r in rows)
+    assert all(r["lang_pred"] == "en" for r in rows)
+    # survivors are unique ids drawn from the corpus
+    assert out.select("doc_id").distinct().count() == n_out

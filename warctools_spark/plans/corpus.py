@@ -1,0 +1,73 @@
+"""Composed training-corpus preparation pipeline — the end-to-end
+flow a pretraining data job runs over raw documents:
+
+    quality gate -> language gate -> exact dedup (keep first)
+    -> MinHash-LSH near-dup candidates -> exact Jaccard verify
+    -> connected components -> keep one doc per cluster
+
+Every stage is one of the engine's oracle-checked operators; the
+composition itself is oracle-checked end-to-end (driver query
+`training_corpus`). Shuffle profile: one hash-agg for the exact
+dedup, one band-key groupBy for LSH, one join+agg round per
+propagation step — all keyed shuffles with map-side reduction, no
+collects, no windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from warctools_spark.operators.dedup import (
+    dup_clusters,
+    exact_dedup_keep_first,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+)
+from warctools_spark.operators.text_analysis import lang_id, quality_score
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    min_quality: float = 50.0,
+    languages: tuple = ("en",),
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The surviving documents with (id, lang_pred, quality_score).
+
+    Order matters and is deliberate: the quality/language gates run
+    first (cheap scan-side expressions pruning the corpus before any
+    shuffle); exact dedup collapses byte-identical content before LSH
+    so degenerate boilerplate never reaches the band buckets; the LSH
+    stage then only pays for the near-duplicate structure that
+    remains.
+    """
+    scored = quality_score(docs, text_col).select(id_col, "quality_score")
+    gated = (
+        docs.withColumn("lang_pred", lang_id(F.col(text_col)))
+        .join(scored, on=id_col)
+        .where(
+            (F.col("quality_score") >= min_quality)
+            & F.col("lang_pred").isin(list(languages))
+        )
+    )
+    kept = exact_dedup_keep_first(gated, text_col, id_col)
+    pairs = minhash_lsh_candidates(
+        kept, text_col, id_col, num_hashes=num_hashes, bands=bands
+    )
+    verified = (
+        ngram_jaccard(kept, pairs, text_col, id_col)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+    clusters = dup_clusters(verified, kept, id_col)
+    survivors = clusters.where(
+        F.col(id_col) == F.col("cluster_id")
+    ).select(id_col)
+    return kept.join(survivors, on=id_col).select(
+        id_col, "lang_pred", "quality_score"
+    )
