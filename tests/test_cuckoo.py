@@ -136,3 +136,17 @@ class TestSpark:
             for r in probe_cuckoo_bucketed(cand, updated, 8).collect()
         }
         assert a == b
+
+    def test_incremental_insert(self, spark, frames):
+        """insert_into_cuckoo(filter(A), B) answers membership like a
+        filter over A ∪ B — the no-rebuild maintenance path."""
+        from warctools_spark.operators.cuckoo import insert_into_cuckoo
+
+        cand, seen = frames
+        half = seen.limit(150)
+        rest = seen.subtract(half)
+        base = build_cuckoo(half, n_buckets=8)
+        grown = insert_into_cuckoo(base, rest, n_buckets=8)
+        probed = probe_cuckoo(spark, seen, grown, 8)
+        # every seen key (old and newly inserted) probes positive
+        assert probed.where(~F.col("maybe_seen")).count() == 0

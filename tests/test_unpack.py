@@ -159,3 +159,35 @@ def test_unpack_to_files_sink(spark, tmp_path):
     assert by_path["http/fs.example/sub/c.html"]["n_bytes"] == len(
         b"<html>third</html>"
     )
+
+
+def test_collection_ids_resolution_chain(spark):
+    """collectionId from warcinfo description, WARC-Filename, or the
+    archive filename — the reference chain (warcunpack_ia.py:82-98)."""
+    from warctools_spark.operators.unpack import collection_ids
+
+    schema = (
+        "source_file string, offset long, format string, record_type string, "
+        "url string, content_type string, content_length long, content binary, "
+        "headers array<struct<name:string,value:string>>, errors array<string>"
+    )
+    desc = b"format: WARC\ndescription: key=v collectionId=COLL9,rest\n"
+    rows = [
+        # description wins
+        ("a.warc", 0, "warc", "warcinfo", None, "application/warc-fields",
+         len(desc), bytearray(desc), [], []),
+        # WARC-Filename fallback
+        ("b.warc", 0, "warc", "warcinfo", None, "application/warc-fields",
+         9, bytearray(b"format: x"),
+         [{"name": "WARC-Filename", "value": "live-WEB77-20130101.warc.gz"}], []),
+        # archive-name fallback
+        ("crawl-XYZ-001.warc", 0, "warc", "warcinfo", None,
+         "application/warc-fields", 9, bytearray(b"format: x"), [], []),
+    ]
+    recs = spark.createDataFrame(rows, schema)
+    got = {r["source_file"]: r["collection_id"] for r in collection_ids(recs).collect()}
+    assert got == {
+        "a.warc": "COLL9",
+        "b.warc": "WEB77",
+        "crawl-XYZ-001.warc": "XYZ",
+    }

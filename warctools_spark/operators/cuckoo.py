@@ -305,3 +305,44 @@ def two_tier_dedup_cuckoo(
         seen.select("url_sha1").distinct(), on="url_sha1", how="left_anti"
     )
     return definitely_new.unionByName(survivors)
+
+
+def insert_into_cuckoo(
+    cuckoo: DataFrame, additions: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Incremental maintenance, the cuckoo twin of Bloom union:
+    cogroup each bucket's filter with that bucket's new keys and
+    insert — per-epoch cost O(|additions|), no rebuild over the full
+    seen set. Inserts are deterministic (sorted keys, fixed eviction
+    rotation); a bucket that overflows marks itself `overflowed`, and
+    every probe of an overflowed bucket answers maybe_seen=True, so
+    exactness of the two-tier dedup is preserved under overflow."""
+    keyed = additions.select(
+        F.pmod(F.xxhash64("url_sha1"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "url_sha1",
+    )
+
+    def apply_inserts(filters: pd.DataFrame, adds: pd.DataFrame) -> pd.DataFrame:
+        if not len(filters):
+            # keys hashed to a bucket with no filter row: nothing to
+            # insert into — callers build with full bucket coverage
+            return filters
+        row = filters.iloc[0]
+        flt = CuckooFilter.from_bytes(bytes(row["bits"]), int(row["nb"]))
+        overflowed = int(row["overflowed"])
+        for h in sorted(adds["url_sha1"]):
+            if not flt.insert(h):
+                overflowed += 1
+        out = filters.copy()
+        out.loc[out.index[0], "bits"] = flt.to_bytes()
+        out.loc[out.index[0], "overflowed"] = overflowed
+        return out
+
+    return (
+        cuckoo.groupBy("bucket")
+        .cogroup(keyed.groupBy("bucket"))
+        .applyInPandas(
+            apply_inserts,
+            "bucket int, nb int, version int, overflowed int, bits binary",
+        )
+    )

@@ -209,3 +209,77 @@ def unpack_to_files(
             yield pd.DataFrame(out)
 
     return log.mapInPandas(write_batch, UNPACK_WRITE_SCHEMA)
+
+
+def _collection_id_for(
+    content: bytes | None, warc_filename: str | None, source_file: str
+) -> str:
+    """The reference's collectionId resolution chain
+    (warcunpack_ia.py:82-98): a `collectionId=X` entry inside the
+    warcinfo description (shlex-split), else the second dash-segment
+    of the WARC-Filename header, else of the archive's own filename."""
+    import posixpath
+    import shlex
+
+    info: dict = {}
+    if content:
+        try:
+            text = bytes(content).decode("utf-8", "replace")
+        except Exception:
+            text = ""
+        for line in text.split("\n"):
+            line = line.strip()
+            if line and ":" in line:
+                key, value = line.split(":", 1)
+                info[key] = value
+    try:
+        entries = shlex.split(info.get("description", ""))
+    except ValueError:
+        entries = []
+    for entry in entries:
+        if entry.startswith("collectionId"):
+            cid = entry.split("=", 1)[1].split(",")[0]
+            if cid:
+                return cid
+    if warc_filename and "-" in warc_filename:
+        return warc_filename.split("-")[1]
+    base = posixpath.basename(source_file or "")
+    if "-" in base:
+        return base.split("-")[1]
+    return ""
+
+
+def collection_ids(records: DataFrame) -> DataFrame:
+    """(source_file, collection_id) per archive, from its warcinfo
+    record — feeds the wayback-uri construction when the caller does
+    not pass an explicit collection (reference behavior)."""
+    info = records.where(F.col("record_type") == "warcinfo").select(
+        "source_file",
+        "offset",
+        "content",
+        F.expr(
+            "get(filter(headers, h -> lower(h.name) = 'warc-filename'), 0).value"
+        ).alias("warc_filename"),
+    )
+
+    def resolve(batches):
+        for pdf in batches:
+            out = {"source_file": [], "collection_id": []}
+            for src, content, wf in zip(
+                pdf["source_file"], pdf["content"], pdf["warc_filename"]
+            ):
+                out["source_file"].append(src)
+                out["collection_id"].append(
+                    _collection_id_for(content, wf, src)
+                )
+            yield pd.DataFrame(out)
+
+    resolved = info.mapInPandas(
+        resolve, "source_file string, collection_id string"
+    )
+    # first non-empty id per file (multiple warcinfo records possible)
+    return resolved.groupBy("source_file").agg(
+        F.max(
+            F.when(F.col("collection_id") != "", F.col("collection_id"))
+        ).alias("collection_id")
+    )
