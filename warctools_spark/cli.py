@@ -263,11 +263,19 @@ def cmd_warcunpack(args):
     from warctools_spark.operators.archive_ops import http_triage
     from warctools_spark.operators.unpack import unpack_log, unpack_to_files
 
+    from warctools_spark.operators.unpack import collection_ids
+
     spark = _spark(args.cpus)
     recs = _records(spark, args.inputs)
+    # reference behavior: derive collectionId from warcinfo records
+    # unless the user pins one (warcunpack_ia.py:82-98)
+    colls = None if args.collection else collection_ids(recs)
     if args.output_dir:
         written = unpack_to_files(
-            recs, args.output_dir, collection_id=args.collection or ""
+            recs,
+            args.output_dir,
+            collection_id=args.collection or "",
+            collections=colls,
         )
         for r in written.orderBy("out_path", "dup_rank").toLocalIterator():
             print(
@@ -279,7 +287,9 @@ def cmd_warcunpack(args):
         recs.select("source_file", "offset", "warc_date"),
         on=["source_file", "offset"],
     )
-    log = unpack_log(triaged, collection_id=args.collection or "")
+    log = unpack_log(
+        triaged, collection_id=args.collection or "", collections=colls
+    )
     for r in log.orderBy("source_file", "offset").toLocalIterator():
         print(
             "%s %s %s %s"

@@ -73,29 +73,46 @@ def unpack_log(
     triaged: DataFrame,
     collection_id: str = "",
     wayback_prefix: str = "http://wayback/",
+    collections: DataFrame | None = None,
 ) -> DataFrame:
     """(source_file, offset, url, code, mime, warc_date) -> the unpack
     log rows: output path, wayback uri, dup_rank. Input is
     archive_ops.http_triage joined back to warc_date; only 2xx rows
-    unpack (warcunpack_ia.py:104-118)."""
+    unpack (warcunpack_ia.py:104-118).
+
+    `collections` (from collection_ids()) supplies a per-file
+    collection id resolved from warcinfo records, broadcast-joined on
+    source_file — the reference's automatic behavior when no explicit
+    --collection is given; an explicit collection_id wins."""
     rows = triaged.where((F.col("code") >= 200) & (F.col("code") < 300))
     rows = rows.withColumn("out_path", udf_sanitize_path("url", "mime"))
-    wayback = (
+    if collection_id:
+        cid = F.lit(collection_id)
+    elif collections is not None:
+        rows = rows.join(
+            F.broadcast(collections), on="source_file", how="left"
+        )
+        cid = F.coalesce(F.col("collection_id"), F.lit(""))
+    else:
+        cid = F.lit("")
+    wayback = F.when(
+        cid != "",
         F.concat(
             F.lit(wayback_prefix),
-            F.lit(collection_id),
+            cid,
             F.lit("/"),
             F.translate(F.col("warc_date"), "TZ:-", ""),
             F.lit("/"),
             F.col("url"),
-        )
-        if collection_id
-        else F.lit("")
-    )
+        ),
+    ).otherwise(F.lit(""))
     w = Window.partitionBy("out_path").orderBy("source_file", "offset")
-    return rows.withColumn("wayback_uri", wayback).withColumn(
+    out = rows.withColumn("wayback_uri", wayback).withColumn(
         "dup_rank", F.row_number().over(w) - 1
     )
+    if "collection_id" in out.columns:
+        out = out.drop("collection_id")
+    return out
 
 
 def extract_payload(records: DataFrame, source_file: str, offset: int) -> DataFrame:
@@ -143,6 +160,7 @@ def unpack_to_files(
     output_dir: str,
     collection_id: str = "",
     wayback_prefix: str = "http://wayback/",
+    collections: DataFrame | None = None,
 ) -> DataFrame:
     """The actual filesystem sink of warcunpack_ia
     (warcunpack_ia.py:104-121): write each 2xx http response body
@@ -167,7 +185,9 @@ def unpack_to_files(
         records.select("source_file", "offset", "warc_date"),
         on=["source_file", "offset"],
     )
-    log = unpack_log(triaged, collection_id, wayback_prefix).select(
+    log = unpack_log(
+        triaged, collection_id, wayback_prefix, collections=collections
+    ).select(
         "url", "mime", "out_path", "wayback_uri", "dup_rank", "decoded_body"
     )
 
