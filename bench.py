@@ -161,7 +161,7 @@ def main():
         "tpch_q1": q_tpch_q1,
         "embedding_topk": q_embedding_topk,
     }
-    # best-of-2 per query: the first execution pays JVM/codegen warmup
+    # best-of-3 per query: the first execution pays JVM/codegen warmup
     # (observed 2-5x inflation, high variance on a shared VM); the min
     # is the steady-state engine throughput a long-running cluster job
     # amortizes to. Methodology noted in BENCH/BASELINE.md.
@@ -169,7 +169,7 @@ def main():
     results = {}
     for name, fn in queries.items():
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             results[name] = fn(spark, pages_path)
             dt = time.time() - t0
@@ -180,7 +180,7 @@ def main():
     # the total stays comparable across rounds/BASELINE.md
     extra = {}
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         results["bloom_bucketed"] = q_bloom_bucketed(spark, pages_path)
         dt = time.time() - t0
