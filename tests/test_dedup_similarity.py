@@ -262,3 +262,29 @@ def test_prepare_training_corpus(spark):
     assert all(r["lang_pred"] == "en" for r in rows)
     # survivors are unique ids drawn from the corpus
     assert out.select("doc_id").distinct().count() == n_out
+
+
+def test_write_training_shards(spark, tmp_path):
+    """Range-sharded corpus output: contiguous id ranges, sorted
+    within shard, all rows preserved."""
+    from warctools_spark.plans.corpus import write_training_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "shards")
+    res = write_training_shards(docs, out, shards=4)
+    assert res["rows"] == docs.count()
+
+    import glob
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        ids = [r["doc_id"] for r in spark.read.parquet(f).collect()]
+        assert ids == sorted(ids)  # sorted within shard
+        ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # contiguous, non-overlapping id ranges

@@ -237,3 +237,59 @@ def test_canonicalization_idempotent_and_consistent(scheme, host, port, path, qu
     assert canon_parts(url) == (c, url_sha1(url), url_host(url))
     # fragment-free, lowercase scheme+host
     assert "#" not in c
+
+
+@given(
+    st.lists(
+        st.text(alphabet="0123456789abcdef", min_size=40, max_size=40),
+        min_size=0,
+        max_size=60,
+    ),
+    st.lists(
+        st.text(alphabet="0123456789abcdef", min_size=40, max_size=40),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_bloom_probe_batch_equals_scalar(members, queries):
+    """The vectorized bitset probe answers exactly like the scalar
+    double-hash membership test, for any member/query mix."""
+    import numpy as np
+
+    from warctools_spark.operators.seen import _positions, _probe_batch
+
+    m, k = 1 << 12, 5
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for h in members:
+        pos = _positions(h, k, m)
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    got = _probe_batch(bits, m, k, queries)
+    for q, g in zip(queries, got):
+        pos = _positions(q, k, m)
+        want = bool(np.all((bits[pos >> 3] >> (pos & 7)) & 1))
+        assert bool(g) == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="0123456789abcdef", min_size=40, max_size=40),
+        min_size=0,
+        max_size=60,
+    ),
+    st.lists(
+        st.text(alphabet="0123456789abcdef", min_size=40, max_size=40),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_cuckoo_contains_batch_equals_scalar(members, queries):
+    from warctools_spark.operators.cuckoo import CuckooFilter
+
+    flt = CuckooFilter.sized_for(max(len(members), 8))
+    for h in sorted(set(members)):
+        flt.insert(h)
+    got = flt.contains_batch(queries)
+    for q, g in zip(queries, got):
+        assert bool(g) == flt.contains(q)

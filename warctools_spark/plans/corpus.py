@@ -71,3 +71,30 @@ def prepare_training_corpus(
     return kept.join(survivors, on=id_col).select(
         id_col, "lang_pred", "quality_score"
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    shards: int,
+    order_col: str = "doc_id",
+) -> dict:
+    """Write the prepared corpus as `shards` balanced, globally-ordered
+    parquet shards — the layout a downstream tokenizer fans out over.
+
+    repartitionByRange gives contiguous id ranges per shard (stable
+    shard membership across reruns — range boundaries come from data
+    sampling of a deterministic column, not hash order), each shard is
+    one file (maxRecordsPerFile unset; one partition -> one file), and
+    rows inside a shard are sorted so tokenization output is
+    reproducible byte-for-byte. Returns {'rows': n, 'shards': k}.
+    """
+    (
+        docs.repartitionByRange(shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = docs.sparkSession
+    written = spark.read.parquet(path)
+    return {"rows": written.count(), "shards": shards}
