@@ -23,6 +23,12 @@ def main():
     ap.add_argument("--k-per-host", type=int, default=10)
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--bloom", action="store_true")
+    ap.add_argument(
+        "--bloom-capacity-per-bucket", type=int, default=1 << 16,
+        help="expected seen keys per bucket; fixes (m,k) up front so "
+             "the filter can be maintained incrementally",
+    )
+    ap.add_argument("--bloom-fpr", type=float, default=0.01)
     ap.add_argument("--hot-host-threshold", type=int, default=None)
     args = ap.parse_args()
 
@@ -58,6 +64,9 @@ def main():
         k_per_host=args.k_per_host,
         catalog=catalog,
         use_bloom=args.bloom,
+        bloom_n_buckets=args.n_buckets,
+        bloom_capacity_per_bucket=args.bloom_capacity_per_bucket,
+        bloom_fpr=args.bloom_fpr,
         hot_host_threshold=args.hot_host_threshold,
         start_epoch=start_epoch,
         initial_state=initial_state,

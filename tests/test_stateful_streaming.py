@@ -134,3 +134,34 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         assert n <= batch_counts[user], user
     # most of the corpus closes (tail sessions past the watermark stay open)
     assert n_total >= ev.count() * 0.5
+
+
+def test_robots_gate_on_stream(spark, tmp_path):
+    """The robots broadcast-join gate composes with streaming frames
+    unchanged — disallowed prefixes never reach the sink."""
+    from warctools_spark.operators.robots import apply_robots
+
+    d = str(tmp_path / "pages3")
+    synthesize_pages(spark, SF_DIR).limit(100).repartition(2).write.parquet(d)
+    stream = FS.stream_pages(spark, d, max_files_per_trigger=1)
+    links = FS.harvest_with_event_time(stream).select(
+        "host", "canon_url", "url_sha1"
+    )
+    robots = spark.createDataFrame(
+        [("hot.example.com", [], ["/doc/"], 0)],
+        "host string, allow array<string>, disallow array<string>, "
+        "crawl_delay_ms int",
+    )
+    gated = apply_robots(links, robots)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("robots_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM robots_stream_test").collect()
+    assert rows
+    assert all(r["host"] != "hot.example.com" for r in rows)
