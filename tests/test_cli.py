@@ -91,3 +91,36 @@ def test_warcextract_cli(warc_file):
     r = run_cli("warcextract", warc_file, "0")
     assert r.returncode == 0
     assert r.stdout == HTTP
+
+
+def test_cli_corpus(tmp_path):
+    """corpus subcommand: survivors sharded to parquet with a JSON
+    summary line."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "corpus"
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "warctools_spark.cli",
+            "--cpus",
+            "4",
+            "corpus",
+            "--docs",
+            "/root/testdata/sf0.001/documents.parquet",
+            "-o",
+            str(out),
+            "--shards",
+            "2",
+        ],
+        capture_output=True,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr.decode()[-500:]
+    summary = json.loads(res.stdout.decode().strip().splitlines()[-1])
+    assert summary["shards"] == 2
+    assert 0 < summary["rows"] <= summary["input_rows"]
+    assert (out / "_SUCCESS").exists()

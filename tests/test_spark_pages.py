@@ -191,3 +191,30 @@ def test_bloom_determinism(pages, spark):
     b1 = {r["bucket"]: r["bits"] for r in SEEN.build_bloom(keys, n_buckets=4, m_bits=1 << 16, k_hashes=5).collect()}
     b2 = {r["bucket"]: r["bits"] for r in SEEN.build_bloom(keys, n_buckets=4, m_bits=1 << 16, k_hashes=5).collect()}
     assert b1 == b2  # byte-stable across runs (resume parity)
+
+
+def test_bucketed_probe_sparse_buckets(spark):
+    """Buckets with no filter row (keys clustered elsewhere) answer
+    definitively-unseen; agreement with the broadcast probe across a
+    bucket count far larger than the key count."""
+    from warctools_spark.operators import seen as SEEN
+
+    keys = spark.createDataFrame(
+        [(format(i, "040x"),) for i in range(5)], "url_sha1 string"
+    )
+    cand = spark.createDataFrame(
+        [(format(i * 37, "040x"),) for i in range(60)], "url_sha1 string"
+    )
+    bloom = SEEN.build_bloom(keys, n_buckets=64, m_bits=1 << 10, k_hashes=3)
+    a = {
+        (r["url_sha1"], r["maybe_seen"])
+        for r in SEEN.probe_bucketed(cand, bloom, 64).collect()
+    }
+    b = {
+        (r["url_sha1"], r["maybe_seen"])
+        for r in SEEN.probe(spark, cand, bloom, 64).collect()
+    }
+    assert a == b
+    # the 5 true members must probe positive
+    members = {format(i, "040x") for i in range(5)}
+    assert all(seen for (h, seen) in a if h in members)

@@ -13,7 +13,8 @@ tools (1:1 with the reference commands):
   warclinks   <warcs...>                  harvested outlinks to stdout
   warcextract <warc> <offset>             one record's payload to stdout
   warcpayload <warc:offset[,len]>         one record's http body to stdout
-  warcunpack  <warcs...>                  unpack log (path, wayback uri)
+  warcunpack  [-o DIR] <warcs...>         unpack log / payload files
+  corpus      --docs P -o DIR             training-corpus pipeline
 
 Outputs are driven through the same DataFrame operators the engine
 uses at cluster scale; stdout rendering mirrors the reference formats
@@ -298,6 +299,36 @@ def cmd_warcunpack(args):
     return 0
 
 
+def cmd_corpus(args):
+    """Engine-native addition (no reference counterpart): run the
+    composed training-corpus pipeline over a documents parquet and
+    write range-sharded output for a tokenizer."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from warctools_spark.plans.corpus import (
+        prepare_training_corpus,
+        write_training_shards,
+    )
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.docs)
+    survivors = prepare_training_corpus(
+        docs,
+        min_quality=args.min_quality,
+        languages=tuple(args.languages.split(",")),
+        jaccard_threshold=args.jaccard,
+    )
+    out = docs.join(survivors.select("doc_id"), on="doc_id").select(
+        "doc_id", "text"
+    )
+    res = write_training_shards(out, args.output, shards=args.shards)
+    res["input_rows"] = docs.count()
+    print(json.dumps(res))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="warctools_spark", description=__doc__)
     p.add_argument("--cpus", default="*", help="local[N] cores")
@@ -364,6 +395,15 @@ def main(argv=None):
     )
     s.add_argument("inputs", nargs="+")
     s.set_defaults(fn=cmd_warcunpack)
+
+    s = sub.add_parser("corpus")
+    s.add_argument("--docs", required=True, help="documents parquet")
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--shards", type=int, default=16)
+    s.add_argument("--min-quality", type=float, default=50.0)
+    s.add_argument("--languages", default="en")
+    s.add_argument("--jaccard", type=float, default=0.8)
+    s.set_defaults(fn=cmd_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)
