@@ -91,7 +91,9 @@ def cmd_warcfilter(args):
     from warctools_spark.functions.udfs import udf_write_warc
     from pyspark.sql import functions as F
 
-    recs = hits.select(
+    # file order like the reference's sequential scan (deterministic
+    # output across runs/parallelism)
+    recs = hits.orderBy("source_file", "offset").select(
         udf_write_warc(
             F.col("record_id"),
             F.col("record_type"),
@@ -199,12 +201,23 @@ def cmd_arc2warc(args):
 
 
 def cmd_warclinks(args):
+    from pyspark.sql import functions as F
+
+    from warctools_spark.functions.udfs import udf_extract_links
     from warctools_spark.operators.archive_ops import records_to_pages
-    from warctools_spark.operators.frontier import harvest_links
 
     spark = _spark(args.cpus)
     pages = records_to_pages(_records(spark, args.inputs))
-    for r in harvest_links(pages).toLocalIterator():
+    # posexplode keeps each page's document-order links; sorting by
+    # (page, pos) makes multi-file output deterministic at any
+    # parallelism (the reference's sequential scan order per page)
+    links = pages.select(
+        F.col("url").alias("src_url"),
+        F.posexplode(
+            udf_extract_links(F.col("url"), F.col("html"))
+        ).alias("pos", "link"),
+    )
+    for r in links.orderBy("src_url", "pos").toLocalIterator():
         print(r["link"])
     return 0
 
