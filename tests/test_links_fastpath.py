@@ -82,3 +82,44 @@ def test_fast_path_randomized():
         body = "".join(parts)
         base = "http://h%d.example/d/p.html" % rng.randint(0, 5)
         assert L.extract_links(base, body) == via_htmlparser(base, body), body
+
+
+def test_fast_path_randomized_messy():
+    """Messier generator: unquoted/single-quoted values, stray
+    slashes, tabs/newlines inside tags, valueless attrs, mixed case,
+    self-closing — anything the tolerant grammar accepts must
+    tokenize identically; anything else must fall back (also
+    identical by construction)."""
+    rng = random.Random(7)
+    tags = ["a", "A", "img", "form", "link", "div", "base", "meta",
+            "frame", "td", "object", "iNpUt"]
+    names = ["href", "HREF", "src", "action", "content", "data-x",
+             "background", "lowsrc", "code"]
+    for _ in range(500):
+        parts = []
+        for _ in range(rng.randint(1, 10)):
+            t = rng.choice(tags)
+            attrs = []
+            for _ in range(rng.randint(0, 4)):
+                n = rng.choice(names)
+                style = rng.random()
+                v = "v%d.html" % rng.randint(0, 9)
+                if style < 0.2:
+                    attrs.append(n)  # valueless
+                elif style < 0.4:
+                    attrs.append("%s=%s" % (n, v))  # bare
+                elif style < 0.6:
+                    attrs.append("%s='%s'" % (n, v))
+                else:
+                    attrs.append('%s="%s"' % (n, v))
+            sep = rng.choice([" ", "  ", "\t", "\n", " / "])
+            inner = sep.join([t] + attrs)
+            close = rng.choice([">", "/>", " >", " />"])
+            parts.append("<" + inner + close)
+            if rng.random() < 0.3:
+                parts.append("plain text %d" % rng.randint(0, 99))
+            if rng.random() < 0.2:
+                parts.append("</%s>" % t)
+        body = "".join(parts)
+        base = "http://m%d.example/a/b/c.html" % rng.randint(0, 3)
+        assert L.extract_links(base, body) == via_htmlparser(base, body), body
