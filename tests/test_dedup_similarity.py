@@ -288,3 +288,27 @@ def test_write_training_shards(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # contiguous, non-overlapping id ranges
+
+
+def test_dup_clusters_partitioning_invariance(spark):
+    """Cluster assignment must not depend on physical layout: the same
+    pair graph at 1 vs 16 input partitions yields identical labels."""
+    import random
+
+    rng = random.Random(3)
+    pairs_data = [
+        (rng.randrange(500), rng.randrange(500)) for _ in range(300)
+    ]
+    pairs_data = [(a, b) for a, b in pairs_data if a != b]
+    verts = spark.range(500).select(F.col("id").alias("doc_id"))
+    results = []
+    for parts in (1, 16):
+        pairs = spark.createDataFrame(
+            pairs_data, "id_a long, id_b long"
+        ).repartition(parts)
+        got = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in D.dup_clusters(pairs, verts.repartition(parts)).collect()
+        )
+        results.append(got)
+    assert results[0] == results[1]
