@@ -304,6 +304,25 @@ def _q_quality(spark, sf_dir):
     )
 
 
+def _q_token_frequencies(spark, sf_dir):
+    """Global corpus token statistics: exact top-200 tokens by count
+    (tokenizer-training / vocab-audit stage)."""
+    from warctools_spark.operators.text_analysis import token_frequencies
+
+    return token_frequencies(_docs(spark, sf_dir), top_k=200)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any
+    13-gram with the 'benchmark' (docs 0..9 stand in for a held-out
+    eval set)."""
+    from warctools_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.where(F.col("doc_id") < 10)
+    return decontaminate(docs, benchmark)
+
+
 def _q_fingerprint(spark, sf_dir):
     from warctools_spark.operators.text_analysis import doc_fingerprints
 
@@ -746,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_score": _q_quality,
         "doc_fingerprint": _q_fingerprint,
+        "token_frequencies": _q_token_frequencies,
+        "decontaminate": _q_decontaminate,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,
         "tpch_q1": _q_tpch_q1,
@@ -1032,6 +1053,27 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_units
             FROM documents
+        """,
+        "token_frequencies": """
+            SELECT token, count(*) AS n FROM (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                  AS token
+              FROM documents
+            ) WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 200
+        """,
+        "decontaminate": f"""
+            WITH p AS (
+              SELECT DISTINCT unnest({_shingles_sql("text", 13)}) AS shingle
+              FROM documents WHERE doc_id < 10
+            ),
+            c AS (
+              SELECT doc_id, unnest({_shingles_sql("text", 13)}) AS shingle
+              FROM documents
+            ),
+            hits AS (SELECT DISTINCT doc_id FROM c JOIN p USING (shingle))
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
         "quality_score": """
             SELECT doc_id, n_tokens, n_punct, n_distinct_tokens,

@@ -312,3 +312,19 @@ def test_dup_clusters_partitioning_invariance(spark):
         )
         results.append(got)
     assert results[0] == results[1]
+
+
+def test_decontaminate_flags_overlap(docs_with_dups, spark):
+    """Exact duplicates of a benchmark doc are contaminated; unrelated
+    docs are not."""
+    bench = docs_with_dups.where(F.col("doc_id") < 5)
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in D.decontaminate(docs_with_dups, bench).collect()
+    }
+    for i in range(5):
+        assert flags[i]  # benchmark docs flag themselves
+        if 10000 + i in flags:
+            assert flags[10000 + i]  # their exact copies too
+    clean = [k for k, v in flags.items() if not v]
+    assert len(clean) > 50  # most of the corpus is untouched

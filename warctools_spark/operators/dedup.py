@@ -477,3 +477,39 @@ def dup_clusters(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination flags: a training document is
+    contaminated if it shares ANY word n-gram (default 13, the GPT-3
+    decontamination window) with any benchmark document.
+
+    Shape at scale: both sides explode to (shingle) rows; the probe
+    side (benchmark n-grams) is small by construction and broadcasts
+    into a semi-join against the corpus shingle stream — no shuffle of
+    the corpus, one distinct-agg on the contaminated ids. Returns
+    (id, contaminated boolean)."""
+    probe = (
+        benchmark.select(
+            F.explode(shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    corpus = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    hit_ids = (
+        corpus.join(F.broadcast(probe), on="shingle", how="left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return docs.select(id_col).join(hit_ids, on=id_col, how="left").select(
+        id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )

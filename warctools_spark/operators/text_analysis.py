@@ -128,3 +128,21 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def normalize(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def token_frequencies(
+    docs: DataFrame, text_col: str = "text", top_k: int | None = None
+) -> DataFrame:
+    """Global token frequency table (corpus statistics for tokenizer
+    training / vocabulary audits): explode normalized whitespace
+    tokens, one hash-agg count with map-side partial aggregation —
+    the shuffle carries one row per distinct token per task, not one
+    per occurrence. Optional exact global top-k via
+    TakeOrderedAndProject (no full sort)."""
+    toks = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    if top_k:
+        return counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_k)
+    return counts
