@@ -323,6 +323,33 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, benchmark)
 
 
+def _q_scrub_pii(spark, sf_dir):
+    """PII redaction: deterministic fake PII appended per doc (so the
+    scrub provably fires), then the email/phone/ipv4 patterns redact
+    to placeholders — pure regexp_replace chain, oracle-replayed."""
+    from warctools_spark.operators.text_analysis import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or +1 (555) 010-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            F.pmod(F.col("doc_id"), 256).cast("string"),
+            F.lit(".7"),
+        ).alias("dirty"),
+    )
+    return with_pii.select(
+        "doc_id", scrub_pii(F.col("dirty")).alias("clean")
+    ).where(
+        ~F.col("clean").contains("@") & ~F.col("clean").contains("10.0.")
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     from warctools_spark.operators.text_analysis import doc_fingerprints
 
@@ -767,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "token_frequencies": _q_token_frequencies,
         "decontaminate": _q_decontaminate,
+        "scrub_pii": _q_scrub_pii,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,
         "tpch_q1": _q_tpch_q1,
@@ -1074,6 +1102,29 @@ def oracle_sql() -> dict[str, str]:
             hits AS (SELECT DISTINCT doc_id FROM c JOIN p USING (shingle))
             SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "scrub_pii": f"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id
+                       || '@mail.example.org or +1 (555) 010-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.7' AS dirty
+              FROM documents
+            ),
+            clean AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(dirty,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                       '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9()\\-\\. ]{{7,}}[0-9]', '<PHONE>', 'g'),
+                       '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}',
+                       '<IPV4>', 'g') AS clean
+              FROM dirty
+            )
+            SELECT doc_id, clean FROM clean
+            WHERE clean NOT LIKE '%@%' AND clean NOT LIKE '%10.0.%'
         """,
         "quality_score": """
             SELECT doc_id, n_tokens, n_punct, n_distinct_tokens,

@@ -328,3 +328,27 @@ def test_decontaminate_flags_overlap(docs_with_dups, spark):
             assert flags[10000 + i]  # their exact copies too
     clean = [k for k, v in flags.items() if not v]
     assert len(clean) > 50  # most of the corpus is untouched
+
+
+def test_scrub_pii(spark):
+    from warctools_spark.operators.text_analysis import scrub_pii
+
+    rows = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@sub.example.co.uk today"),
+            (2, "call +44 (0)20 7946-0958 now"),
+            (3, "server at 192.168.001.255 port 80"),
+            (4, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["clean"]
+        for r in rows.select(
+            "id", scrub_pii(F.col("text")).alias("clean")
+        ).collect()
+    }
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "server at <IPV4> port 80"
+    assert got[4] == "nothing sensitive here"

@@ -146,3 +146,24 @@ def token_frequencies(
     if top_k:
         return counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_k)
     return counts
+
+
+# Conservative, engine-portable PII patterns (no lookarounds /
+# backreferences, so Java regex and RE2 agree character-for-character)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "phone": r"\+?[0-9][0-9()\-\. ]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def scrub_pii(col: Column, kinds: tuple = ("email", "phone", "ipv4")) -> Column:
+    """Redact PII spans with <KIND> placeholders — the standard
+    pre-training scrub pass; pure JVM regexp_replace chain, applied in
+    a fixed order so overlapping matches resolve deterministically."""
+    out = col
+    for kind in kinds:
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], "<%s>" % kind.upper()
+        )
+    return out
