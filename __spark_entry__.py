@@ -1118,9 +1118,10 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(regexp_replace(regexp_replace(dirty,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
                        '<EMAIL>', 'g'),
-                       '\\+?[0-9][0-9()\\-\\. ]{{7,}}[0-9]', '<PHONE>', 'g'),
                        '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}',
-                       '<IPV4>', 'g') AS clean
+                       '<IPV4>', 'g'),
+                       '\\+?[0-9][0-9()\\-\\. ]{{7,}}[0-9]', '<PHONE>', 'g')
+                       AS clean
               FROM dirty
             )
             SELECT doc_id, clean FROM clean

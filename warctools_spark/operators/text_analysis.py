@@ -157,10 +157,12 @@ PII_PATTERNS = {
 }
 
 
-def scrub_pii(col: Column, kinds: tuple = ("email", "phone", "ipv4")) -> Column:
+def scrub_pii(col: Column, kinds: tuple = ("email", "ipv4", "phone")) -> Column:
     """Redact PII spans with <KIND> placeholders — the standard
     pre-training scrub pass; pure JVM regexp_replace chain, applied in
-    a fixed order so overlapping matches resolve deterministically."""
+    a fixed order so overlapping matches resolve deterministically
+    (ipv4 before phone: the phone charset includes digits and dots, so
+    it would otherwise swallow IP addresses)."""
     out = col
     for kind in kinds:
         out = F.regexp_replace(
