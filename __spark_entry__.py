@@ -432,6 +432,27 @@ def _q_tpch_q3ish(spark, sf_dir):
     )
 
 
+def _q_link_rank(spark, sf_dir):
+    """PageRank-style crawl priority over the synthetic link graph
+    (edges replayed from the numeric model; 3 synchronous iterations,
+    unrolled in the oracle)."""
+    from warctools_spark.operators.frontier import link_rank
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
+    ).select(
+        "src",
+        ((F.col("src") * 31 + F.col("i") * 97 + 7) % n).alias("dst"),
+    )
+    ranks = link_rank(
+        edges, docs.select(F.col("doc_id").alias("node")), iterations=3
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _q_politeness_budgeted(spark, sf_dir):
     """Crawl-delay budget windows (robots Crawl-delay semantics): a
     host allows min(k, epoch_ms/crawl_delay) fetches per epoch. The
@@ -780,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_candidates": _q_frontier_candidates,
         "politeness_topk": _q_politeness_topk,
         "politeness_budgeted": _q_politeness_budgeted,
+        "link_rank": _q_link_rank,
         "politeness_topk_salted": _q_politeness_topk_salted,
         "host_agg": _q_host_agg,
         "seen_antijoin": _q_seen_antijoin,
@@ -1018,6 +1040,48 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand
               )
             ) WHERE rn <= budget
+        """,
+        "link_rank": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+              SELECT doc_id AS src,
+                     (doc_id * 31 + t.i * 97 + 7) % nn.n AS dst
+              FROM documents, nn, UNNEST([0,1,2,3,4,5,6,7]) AS t(i)
+            ),
+            d AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            r0 AS (SELECT doc_id AS node, 1.0::DOUBLE / nn.n AS rank
+                   FROM documents, nn),
+            r1 AS (
+              SELECT v.doc_id AS node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) * (1.0::DOUBLE / nn.n)
+                       + 0.85::DOUBLE * coalesce(s.in_sum, 0) AS rank
+              FROM documents v CROSS JOIN nn LEFT JOIN (
+                SELECT e.dst AS node, sum(r0.rank / d.out_deg) AS in_sum
+                FROM e JOIN r0 ON r0.node = e.src JOIN d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = v.doc_id
+            ),
+            r2 AS (
+              SELECT v.doc_id AS node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) * (1.0::DOUBLE / nn.n)
+                       + 0.85::DOUBLE * coalesce(s.in_sum, 0) AS rank
+              FROM documents v CROSS JOIN nn LEFT JOIN (
+                SELECT e.dst AS node, sum(r1.rank / d.out_deg) AS in_sum
+                FROM e JOIN r1 ON r1.node = e.src JOIN d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = v.doc_id
+            ),
+            r3 AS (
+              SELECT v.doc_id AS node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) * (1.0::DOUBLE / nn.n)
+                       + 0.85::DOUBLE * coalesce(s.in_sum, 0) AS rank
+              FROM documents v CROSS JOIN nn LEFT JOIN (
+                SELECT e.dst AS node, sum(r2.rank / d.out_deg) AS in_sum
+                FROM e JOIN r2 ON r2.node = e.src JOIN d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = v.doc_id
+            )
+            SELECT node, round(rank, 6) AS rank FROM r3
         """,
         "host_agg": _CAND_CTE
         + """

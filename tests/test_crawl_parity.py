@@ -227,3 +227,32 @@ def test_queue_drains_scheduled(spark, pages, seeds):
     ).count()
     assert overlap == 0
     assert res.metrics["scheduled"] == queue.count()
+
+
+def test_link_rank_properties(spark):
+    """PageRank sanity on a known graph: ranks sum to ~1 minus the
+    dangling leak, a sink pointed at by everything outranks sources,
+    and results are parallelism-invariant."""
+    from pyspark.sql import functions as F
+
+    from warctools_spark.operators.frontier import link_rank
+
+    # star: 0..8 all point to 9; 9 points back to 0
+    edges = spark.createDataFrame(
+        [(i, 9) for i in range(9)] + [(9, 0)], "src long, dst long"
+    )
+    verts = spark.range(10).select(F.col("id").alias("node"))
+    ranks = {r["node"]: r["rank"] for r in link_rank(edges, verts).collect()}
+    assert ranks[9] == max(ranks.values())
+    assert ranks[0] > ranks[1]  # 9's backlink boosts 0
+    assert abs(ranks[1] - ranks[8]) < 1e-12  # symmetric sources
+
+    r1 = sorted(
+        (r["node"], round(r["rank"], 12))
+        for r in link_rank(edges.repartition(1), verts).collect()
+    )
+    r16 = sorted(
+        (r["node"], round(r["rank"], 12))
+        for r in link_rank(edges.repartition(16), verts).collect()
+    )
+    assert r1 == r16

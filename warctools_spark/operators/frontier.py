@@ -221,3 +221,55 @@ def bfs_order(frontier: DataFrame) -> DataFrame:
     data-derived deterministic tiebreak (SURVEY.md §2.8 — never rely on
     partition iteration order)."""
     return frontier.orderBy("depth", "host", "canon_url")
+
+
+def link_rank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    id_col: str = "node",
+) -> DataFrame:
+    """PageRank-style crawl priority over the harvested link graph —
+    the data-derived refinement of BFS ordering for the frontier's
+    priority queue: rank' = (1-d)/n + d * Σ_in rank/out_deg, a fixed
+    number of synchronous iterations (dangling mass intentionally not
+    redistributed; iteration count is the determinism contract the
+    oracle replays).
+
+    Shuffle profile per iteration: one join on src (edges ⋈ ranks,
+    both keyed) and one sum-agg on dst with map-side combine; ranks
+    localCheckpoint()ed per round so plan depth stays flat, same as
+    the epoch loop. Scale: identical shape to the crawl's own
+    harvest aggregation — linear in edges, no collects.
+    """
+    n = vertices.count()
+    base = 1.0 / n
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = vertices.select(F.col(id_col).alias("node")).withColumn(
+        "rank", F.lit(base)
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), on="src")
+            .join(deg, on="src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            vertices.select(F.col(id_col).alias("node"))
+            .join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) * base)
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
