@@ -323,6 +323,22 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, benchmark)
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality gates: per-doc duplicate-token
+    and top-n-gram fractions (Rae et al. 2021 §A1.1)."""
+    from warctools_spark.operators.text_analysis import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir))
+
+
+def _q_segment_dedup(spark, sf_dir):
+    """C4-style corpus-level segment dedup: keep the globally-first
+    occurrence of every 10-token window, reassemble docs in order."""
+    from warctools_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(_docs(spark, sf_dir), k=10)
+
+
 def _q_scrub_pii(spark, sf_dir):
     """PII redaction: deterministic fake PII appended per doc (so the
     scrub provably fires), then the email/phone/ipv4 patterns redact
@@ -817,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequencies": _q_token_frequencies,
         "decontaminate": _q_decontaminate,
         "scrub_pii": _q_scrub_pii,
+        "repetition_features": _q_repetition,
+        "segment_dedup": _q_segment_dedup,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,
         "tpch_q1": _q_tpch_q1,
@@ -1153,6 +1171,102 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE token <> ''
             GROUP BY token ORDER BY n DESC, token LIMIT 200
+        """,
+        "repetition_features": """
+            WITH g1 AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS g
+              FROM documents
+            ),
+            c1 AS (
+              SELECT doc_id, g, count(*) AS c FROM g1
+              WHERE g <> '' GROUP BY doc_id, g
+            ),
+            s1 AS (
+              SELECT doc_id, sum(c) AS total, count(*) AS dist,
+                     max(c) AS top
+              FROM c1 GROUP BY doc_id
+            ),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS g
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM documents)
+            ),
+            c2 AS (
+              SELECT doc_id, g, count(*) AS c FROM g2
+              WHERE g <> '' GROUP BY doc_id, g
+            ),
+            s2 AS (
+              SELECT doc_id, sum(c) AS total, count(*) AS dist,
+                     max(c) AS top
+              FROM c2 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s1.total, 0) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN coalesce(s1.total, 0) > 0
+                         THEN 1 - coalesce(s1.dist, 0)
+                              / greatest(coalesce(s1.total, 0), 1)
+                         ELSE 0 END, 6) AS dup_token_frac,
+                   round(CASE WHEN coalesce(s1.total, 0) > 0
+                         THEN coalesce(s1.top, 0)
+                              / greatest(coalesce(s1.total, 0), 1)
+                         ELSE 0 END, 6) AS top_token_frac,
+                   round(CASE WHEN coalesce(s2.total, 0) > 0
+                         THEN 1 - coalesce(s2.dist, 0)
+                              / greatest(coalesce(s2.total, 0), 1)
+                         ELSE 0 END, 6) AS dup_2gram_frac,
+                   round(CASE WHEN coalesce(s2.total, 0) > 0
+                         THEN coalesce(s2.top, 0)
+                              / greatest(coalesce(s2.total, 0), 1)
+                         ELSE 0 END, 6) AS top_2gram_frac
+            FROM documents d
+            LEFT JOIN s1 ON d.doc_id = s1.doc_id
+            LEFT JOIN s2 ON d.doc_id = s2.doc_id
+        """,
+        "segment_dedup": """
+            WITH segarr AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) > 0 THEN
+                  list_transform(
+                    range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+                    i -> array_to_string(t[i*10+1 : i*10+10], ' '))
+                ELSE [] END AS segs
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM documents)
+            ),
+            seg AS (
+              SELECT doc_id, u['pos'] AS pos, u['seg'] AS seg
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(segs)+1),
+                                  i -> {'pos': i-1, 'seg': segs[i]})) AS u
+                    FROM segarr)
+            ),
+            ranked AS (
+              SELECT doc_id, pos, seg,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY doc_id, pos) AS rn
+              FROM seg
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            ),
+            ntot AS (
+              SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(coalesce(nt.n_segments, 0) AS BIGINT) AS n_segments,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d
+            LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
+            LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
         """,
         "decontaminate": f"""
             WITH p AS (

@@ -352,3 +352,62 @@ def test_scrub_pii(spark):
     assert got[2] == "call <PHONE> now"
     assert got[3] == "server at <IPV4> port 80"
     assert got[4] == "nothing sensitive here"
+
+
+def test_repetition_features_handcrafted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 1 distinct token, top 2-gram "a a" x3
+            (2, "a b c d"),          # no repetition at all
+            (3, "x y x y x y"),      # alternating: 2-grams "x y" x3, "y x" x2
+            (4, ""),                 # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in TA.repetition_features(docs).collect()
+    }
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["dup_token_frac"] == 0.75
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["dup_2gram_frac"] == pytest.approx(2 / 3)
+    assert rows[1]["top_2gram_frac"] == 1.0
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[2]["top_token_frac"] == 0.25
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 6
+    assert rows[3]["dup_token_frac"] == pytest.approx(1 - 2 / 6)
+    assert rows[3]["top_2gram_frac"] == 0.6  # "x y" 3 of 5
+    assert rows[4]["n_tokens"] == 0
+    assert rows[4]["dup_token_frac"] == 0.0
+
+
+def test_segment_dedup_line_mode(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nshared boilerplate\ngamma"),
+            (2, "shared boilerplate\ndelta"),
+            (3, "shared boilerplate"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.segment_dedup(docs, mode="line").collect()
+    }
+    # doc 1 owns the first occurrence of the shared line
+    assert out[1]["clean_text"] == "alpha beta\nshared boilerplate\ngamma"
+    assert out[1]["n_kept"] == 3
+    assert out[2]["clean_text"] == "delta"
+    assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+
+
+def test_segment_dedup_window_mode_reassembly_order(spark):
+    # 25 tokens -> 3 windows of k=10,10,5; all unique -> text unchanged
+    text = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    row = D.segment_dedup(docs, k=10).collect()[0]
+    assert row["clean_text"] == text
+    assert row["n_segments"] == 3 and row["n_kept"] == 3

@@ -513,3 +513,79 @@ def decontaminate(
     return docs.select(id_col).join(hit_ids, on=id_col, how="left").select(
         id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "window",
+) -> DataFrame:
+    """C4-style corpus-level segment dedup (Raffel et al. 2020 §2.2
+    dedup "any three-sentence span that occurs more than once"): split
+    every document into segments, keep only the globally-FIRST
+    occurrence of each segment (ordered by (doc_id, position)), and
+    reassemble documents from their surviving segments in order.
+
+    mode="line" segments on newlines (the C4 form for real web text);
+    mode="window" segments on consecutive k-token windows, which is
+    the same relational machinery for corpora without line structure.
+
+    Plan shape at 100 TB: the keeper per segment is min(struct(doc_id,
+    pos)) under a hash agg — map-side partial combine means a
+    boilerplate segment occurring 10^9 times ships one partial row per
+    task, never a skewed window partition. One shuffle on seg hash for
+    the keeper agg, one hash join back (AQE picks broadcast if the
+    keeper side is small), one shuffle on doc_id to reassemble.
+    Everything is JVM built-ins; no Python in the path."""
+    if mode == "line":
+        segs_arr = F.split(F.col(text_col), r"\n")
+    else:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        n_seg = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+        segs_arr = F.when(
+            F.length(F.trim(F.col(text_col))) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    segs = docs.select(
+        F.col(id_col), F.posexplode(segs_arr).alias("pos", "seg")
+    )
+    keepers = segs.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keeper")
+    )
+    kept = (
+        segs.join(keepers, on="seg")
+        .where(
+            (F.col(f"keeper.{id_col}") == F.col(id_col))
+            & (F.col("keeper.pos") == F.col("pos"))
+        )
+        .select(id_col, "pos", "seg")
+    )
+    sep = "\n" if mode == "line" else " "
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    n_total = segs.groupBy(id_col).agg(F.count("*").alias("n_segments"))
+    return (
+        docs.select(id_col)
+        .join(n_total, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -169,3 +169,78 @@ def scrub_pii(col: Column, kinds: tuple = ("email", "ipv4", "phone")) -> Column:
             out, PII_PATTERNS[kind], "<%s>" % kind.upper()
         )
     return out
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Consecutive word n-grams (space-joined) of whitespace tokens.
+    n=1 is the token array itself; otherwise a slice-per-offset
+    transform over `sequence`, entirely JVM-side."""
+    toks = tokens(col)
+    if n == 1:
+        return toks
+    cnt = F.size(toks) - (n - 1)
+    return F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021 §A1.1):
+    per-document fraction of tokens that are repeats, fraction taken
+    by the single most frequent token, and the same two measures over
+    word 2-grams. Degenerate machine-generated/boilerplate pages spike
+    on all four.
+
+    Plan shape: explode n-grams -> count per (doc, gram) -> per-doc
+    max/sum/count. Both aggregations are hash aggs with map-side
+    partial combine, and because each document's grams start on one
+    row (one input split), the (doc, gram) partial agg collapses
+    within-doc repeats BEFORE the shuffle — shuffle volume is distinct
+    grams per doc, not total tokens. Linear at 100 TB; no windows, no
+    skew (gram cardinality is huge and hashed)."""
+
+    def stats(n: int, prefix: str) -> DataFrame:
+        rows = docs.select(
+            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        ).where(F.col("g") != "")
+        per_gram = rows.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        return per_gram.groupBy(id_col).agg(
+            F.sum("c").alias(f"{prefix}_total"),
+            F.count("*").alias(f"{prefix}_distinct"),
+            F.max("c").alias(f"{prefix}_top"),
+        )
+
+    t1, t2 = stats(1, "t1"), stats(2, "t2")
+    base = docs.select(id_col)
+    out = base.join(t1, id_col, "left").join(t2, id_col, "left")
+    tot1 = F.greatest(F.coalesce("t1_total", F.lit(0)), F.lit(1))
+    tot2 = F.greatest(F.coalesce("t2_total", F.lit(0)), F.lit(1))
+
+    def frac(expr: Column, total_col: str) -> Column:
+        # empty docs (no grams at all) score 0, not 1
+        return F.round(
+            F.when(F.coalesce(total_col, F.lit(0)) > 0, expr).otherwise(0.0), 6
+        )
+
+    return out.select(
+        id_col,
+        F.coalesce("t1_total", F.lit(0)).alias("n_tokens"),
+        frac(
+            1 - F.coalesce("t1_distinct", F.lit(0)) / tot1, "t1_total"
+        ).alias("dup_token_frac"),
+        frac(
+            F.coalesce("t1_top", F.lit(0)) / tot1, "t1_total"
+        ).alias("top_token_frac"),
+        frac(
+            1 - F.coalesce("t2_distinct", F.lit(0)) / tot2, "t2_total"
+        ).alias("dup_2gram_frac"),
+        frac(
+            F.coalesce("t2_top", F.lit(0)) / tot2, "t2_total"
+        ).alias("top_2gram_frac"),
+    )
