@@ -339,6 +339,48 @@ def _q_segment_dedup(spark, sf_dir):
     return segment_dedup(_docs(spark, sf_dir), k=10)
 
 
+MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_FRAC_SQL = (
+    "CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 "
+    "WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 ELSE 0.0 END"
+)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic domain mixing: hash-gated per-source sampling,
+    reproducible across partitionings/cluster sizes (unlike
+    df.sample)."""
+    from warctools_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), MIX_FRACTIONS).select(
+        "doc_id", "source"
+    )
+
+
+def _q_corpus_mix(spark, sf_dir):
+    """Achieved-vs-corpus mixing-ratio audit for the stratified
+    sample."""
+    from warctools_spark.operators.sampling import (
+        mix_report,
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return mix_report(docs, stratified_sample(docs, MIX_FRACTIONS))
+
+
+def _q_wet_records(spark, sf_dir):
+    """WET derivation: response pages -> conversion records
+    (extract text, serialize WARC conversion record with
+    WARC-Refers-To, reparse) — verification columns replayed by the
+    oracle from the document model."""
+    from warctools_spark.operators.archive_ops import wet_conversion
+
+    return wet_conversion(_pages(spark, sf_dir)).select(
+        "url", "rec_type", "refers_to", "content_length", "payload_md5"
+    )
+
+
 def _q_scrub_pii(spark, sf_dir):
     """PII redaction: deterministic fake PII appended per doc (so the
     scrub provably fires), then the email/phone/ipv4 patterns redact
@@ -835,6 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "repetition_features": _q_repetition,
         "segment_dedup": _q_segment_dedup,
+        "stratified_sample": _q_stratified_sample,
+        "corpus_mix": _q_corpus_mix,
+        "wet_records": _q_wet_records,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,
         "tpch_q1": _q_tpch_q1,
@@ -1267,6 +1312,52 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     (CAST(('0x' || substr(md5('mix-v1:'
+                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % 1000000) / 1000000.0 AS u,
+                     {_MIX_FRAC_SQL} AS f
+              FROM documents
+            ) WHERE u < f
+        """,
+        "corpus_mix": f"""
+            WITH samp AS (
+              SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       (CAST(('0x' || substr(md5('mix-v1:'
+                             || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1000000) / 1000000.0 AS u,
+                       {_MIX_FRAC_SQL} AS f
+                FROM documents
+              ) WHERE u < f
+            ),
+            tot AS (
+              SELECT source, count(*) AS n_corpus FROM documents
+              GROUP BY source
+            ),
+            got AS (
+              SELECT source, count(*) AS n_sampled FROM samp GROUP BY source
+            )
+            SELECT t.source,
+                   CAST(t.n_corpus AS BIGINT) AS n_corpus,
+                   CAST(coalesce(g.n_sampled, 0) AS BIGINT) AS n_sampled,
+                   round(coalesce(g.n_sampled, 0) / t.n_corpus, 6)
+                       AS achieved_frac
+            FROM tot t LEFT JOIN got g ON t.source = g.source
+        """,
+        "wet_records": f"""
+            SELECT {_URL.format(id="d.doc_id")} AS url,
+                   'conversion' AS rec_type,
+                   '<urn:uuid:' || md5({_URL.format(id="d.doc_id")}) || '>'
+                       AS refers_to,
+                   CAST(octet_length(encode({html_doc})) AS BIGINT)
+                       AS content_length,
+                   md5({html_doc}) AS payload_md5
+            FROM documents d
+            CROSS JOIN (SELECT count(*) AS n FROM documents) nn
         """,
         "decontaminate": f"""
             WITH p AS (

@@ -411,3 +411,46 @@ def test_segment_dedup_window_mode_reassembly_order(spark):
     row = D.segment_dedup(docs, k=10).collect()[0]
     assert row["clean_text"] == text
     assert row["n_segments"] == 3 and row["n_kept"] == 3
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    """Membership is a pure function of (seed, id) — identical sets
+    at 2 and 16 partitions (df.sample would differ)."""
+    from warctools_spark.operators.sampling import mix_report, stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fr = {"src0": 1.0, "src1": 0.5, "src5": 0.2}
+    a = set(
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(2), fr).collect()
+    )
+    b = set(
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(16), fr).collect()
+    )
+    assert a == b and len(a) > 0
+    # src0 fraction 1.0 keeps everything; absent strata drop to zero
+    rep = {
+        r["source"]: r
+        for r in mix_report(docs, stratified_sample(docs, fr)).collect()
+    }
+    assert rep["src0"]["achieved_frac"] == 1.0
+    assert rep["src9"]["n_sampled"] == 0
+
+
+def test_wet_conversion_records(spark):
+    from warctools_spark.kernels.warc_parse import parse_archive
+    from warctools_spark.operators.archive_ops import wet_conversion
+    from warctools_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, SF_DIR).limit(5)
+    rows = wet_conversion(pages).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["rec_type"] == "conversion"
+        assert r["refers_to"].startswith("<urn:uuid:")
+        # the serialized record reparses clean and carries the payload
+        (rec,) = parse_archive(bytes(r["record_bytes"]), fmt="warc")
+        assert not rec.errors
+        assert rec.content_length == r["content_length"]
+        assert rec.get_header(b"Content-Type") == b"text/plain"

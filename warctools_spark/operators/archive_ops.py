@@ -184,3 +184,81 @@ def records_to_pages(records: DataFrame) -> DataFrame:
         .withColumn("text", udf_extract_text(F.col("html")))
         .withColumn("lang", F.lit(None).cast("string"))
     )
+
+
+def wet_conversion(pages: DataFrame) -> DataFrame:
+    """Derive WET-style `conversion` records from response pages —
+    the Common-Crawl WET sidecar: extracted plain text wrapped in a
+    WARC conversion record whose WARC-Refers-To points back at the
+    response record it was derived from (record model per
+    warc.py:76-127; CC-WET header conventions).
+
+    One Arrow pass per partition: extract text (the engine's
+    byte-parity extractor), serialize a conversion record with
+    write_warc_record, immediately reparse it with the parse kernel,
+    and emit verification columns. Scan-side and embarrassingly
+    parallel — no shuffle at any scale."""
+    import hashlib
+
+    import pandas as pd
+
+    from warctools_spark.kernels.http_decode import decode_http
+    from warctools_spark.kernels.warc_parse import parse_archive
+    from warctools_spark.kernels.warc_write import write_warc_record
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for url, ts, html in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"]
+            ):
+                text = decode_http(bytes(html), kind="response").decoded_body()
+                uhash = hashlib.md5(url.encode("utf-8")).hexdigest()
+                date = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode("latin-1")
+                rec = write_warc_record(
+                    [
+                        (b"WARC-Type", b"conversion"),
+                        (
+                            b"WARC-Record-ID",
+                            b"<urn:uuid:wet-" + uhash.encode() + b">",
+                        ),
+                        (
+                            b"WARC-Refers-To",
+                            b"<urn:uuid:" + uhash.encode() + b">",
+                        ),
+                        (b"WARC-Date", date),
+                        (b"WARC-Target-URI", url.encode("latin-1")),
+                    ],
+                    b"text/plain",
+                    text,
+                )
+                (row,) = parse_archive(rec, fmt="warc")
+                out.append(
+                    {
+                        "url": (row.url or b"").decode("latin-1"),
+                        "rec_type": (row.record_type or b"").decode("latin-1"),
+                        "refers_to": (
+                            row.get_header(b"WARC-Refers-To") or b""
+                        ).decode("latin-1"),
+                        "content_length": row.content_length,
+                        "payload_md5": hashlib.md5(row.content).hexdigest(),
+                        "record_bytes": rec,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url",
+                    "rec_type",
+                    "refers_to",
+                    "content_length",
+                    "payload_md5",
+                    "record_bytes",
+                ],
+            )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        run,
+        "url string, rec_type string, refers_to string, "
+        "content_length long, payload_md5 string, record_bytes binary",
+    )

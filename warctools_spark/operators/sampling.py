@@ -1,0 +1,68 @@
+"""Deterministic corpus sampling / domain mixing.
+
+Training-data pipelines mix sources at fixed ratios (e.g. 60% web,
+30% books, 10% code) and need the sample to be REPRODUCIBLE across
+reruns and cluster sizes — Spark's df.sample() is seeded per
+partition, so the selected set changes with the split layout. These
+operators hash row identity instead: membership is a pure function of
+(seed, id), independent of partitioning, executor count, or input
+order, and replayable in any engine with md5.
+
+Scale: a hash + filter on the scan — no shuffle, no state, prunes to
+(id, stratum) columns. The optional per-stratum report is one
+map-side-combined hash agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MOD = 1_000_000
+
+
+def hash_unit(id_col: Column, seed: str) -> Column:
+    """Uniform [0,1) from md5(seed:id) — first 60 bits of the digest
+    (same md5->int trick as the MinHash family; engine-portable)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h % _MOD) / F.lit(float(_MOD))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    seed: str = "mix-v1",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff hash_unit(seed, id) < fraction[its stratum].
+    Strata absent from `fractions` are dropped (fraction 0)."""
+    frac = F.lit(0.0)
+    for name, f in sorted(fractions.items()):
+        frac = F.when(F.col(stratum_col) == name, F.lit(float(f))).otherwise(frac)
+    return docs.where(hash_unit(F.col(id_col), seed) < frac)
+
+
+def mix_report(
+    docs: DataFrame,
+    sampled: DataFrame,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Achieved-vs-corpus mixing ratios per stratum (audit table)."""
+    tot = docs.groupBy(stratum_col).agg(F.count("*").alias("n_corpus"))
+    got = sampled.groupBy(stratum_col).agg(F.count("*").alias("n_sampled"))
+    return (
+        tot.join(got, stratum_col, "left")
+        .select(
+            stratum_col,
+            "n_corpus",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.round(
+                F.coalesce("n_sampled", F.lit(0)) / F.col("n_corpus"), 6
+            ).alias("achieved_frac"),
+        )
+    )
