@@ -124,3 +124,20 @@ def test_cli_corpus(tmp_path):
     assert summary["shards"] == 2
     assert 0 < summary["rows"] <= summary["input_rows"]
     assert (out / "_SUCCESS").exists()
+
+
+def test_cli_warcwet(warc_file, tmp_path):
+    out = str(tmp_path / "out.wet.warc")
+    r = subprocess.run(
+        [sys.executable, "-m", "warctools_spark.cli", "--cpus", "2",
+         "warcwet", "-o", out, warc_file],
+        capture_output=True, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = open(out, "rb").read()
+    assert data.startswith(b"WARC/1.0\r\n")
+    assert b"WARC-Type: conversion" in data
+    assert b"WARC-Refers-To: <urn:uuid:" in data
+    assert b"Content-Type: text/plain" in data
+    # payload is the extracted text of the response body
+    assert b'<html><a href="http://x.example/next.html">n</a></html>' in data

@@ -143,3 +143,29 @@ def test_bucketed_probe_plan_is_cogroup(spark):
     plan = _plan(SEEN.probe_bucketed(cand, bloom, 4))
     assert "FlatMapCoGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_repetition_and_segment_dedup_stay_jvm_side(spark):
+    """The Gopher repetition gates and C4 segment dedup are pure
+    Catalyst plans: no Python eval nodes, partial hash aggregation
+    before every shuffle."""
+    from warctools_spark.operators.dedup import segment_dedup
+    from warctools_spark.operators.text_analysis import repetition_features
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (repetition_features(docs), segment_dedup(docs)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "HashAggregate" in plan  # map-side combine path
+
+
+def test_stratified_sample_is_zero_exchange_scan_filter(spark):
+    """Hash-gated sampling compiles to scan+filter: no shuffle, no
+    Python, membership independent of partition layout."""
+    from warctools_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(stratified_sample(docs, {"src0": 1.0, "src1": 0.5}))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

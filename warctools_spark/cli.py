@@ -14,6 +14,7 @@ tools (1:1 with the reference commands):
   warcextract <warc> <offset>             one record's payload to stdout
   warcpayload <warc:offset[,len]>         one record's http body to stdout
   warcunpack  [-o DIR] <warcs...>         unpack log / payload files
+  warcwet     [-o OUT] <warcs...>         WET conversion records (text)
   corpus      --docs P -o DIR             training-corpus pipeline
 
 Outputs are driven through the same DataFrame operators the engine
@@ -166,6 +167,25 @@ def cmd_warc2warc(args):
         )
     sink = open(args.output, "wb") if args.output else sys.stdout.buffer
     for r in out_df.orderBy("source_file", "offset").toLocalIterator():
+        sink.write(bytes(r["record_bytes"]))
+    if args.output:
+        sink.close()
+    return 0
+
+
+def cmd_warcwet(args):
+    """Derive a WET file (conversion records with extracted text)
+    from WARC responses — the Common-Crawl text sidecar."""
+    from warctools_spark.operators.archive_ops import (
+        records_to_pages,
+        wet_conversion,
+    )
+
+    spark = _spark(args.cpus)
+    pages = records_to_pages(_records(spark, args.inputs))
+    wet = wet_conversion(pages)
+    sink = open(args.output, "wb") if args.output else sys.stdout.buffer
+    for r in wet.orderBy("url").toLocalIterator():
         sink.write(bytes(r["record_bytes"]))
     if args.output:
         sink.close()
@@ -384,6 +404,11 @@ def main(argv=None):
     s = sub.add_parser("warcpayload")
     s.add_argument("target", help="file:offset[,length]")
     s.set_defaults(fn=cmd_warcpayload)
+
+    s = sub.add_parser("warcwet")
+    s.add_argument("-o", "--output", default=None)
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_warcwet)
 
     s = sub.add_parser("arc2warc")
     s.add_argument("-Z", "--gzip", action="store_true")
