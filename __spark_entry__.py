@@ -381,6 +381,46 @@ def _q_wet_records(spark, sf_dir):
     )
 
 
+def _q_gopher_gate(spark, sf_dir):
+    """Composed Gopher-style keep/drop gate with reasons."""
+    from warctools_spark.operators.text_analysis import gopher_gate
+
+    return gopher_gate(_docs(spark, sf_dir))
+
+
+def _q_sitemap_seeds(spark, sf_dir):
+    """Seed discovery: every doc_id%50==0 page publishes a sitemap of
+    10 <loc> entries (deterministic link model); the operator gates on
+    <urlset> and regexp-extracts the locs — the oracle replays the
+    expected seed set straight from the numeric model, independently
+    validating the XML extraction."""
+    from warctools_spark.operators.frontier import sitemap_seeds
+    from warctools_spark.sources.pages import url_expr
+
+    docs = _docs(spark, sf_dir)
+    cnt = docs.agg(F.count("*").alias("n"))
+    loc = lambda j: F.concat(  # noqa: E731
+        F.lit("<loc>"),
+        url_expr((F.col("doc_id") + j * 7 + 1) % F.col("n")),
+        F.lit("</loc>"),
+    )
+    sm = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            url_expr(F.col("doc_id")).alias("url"),
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.concat_ws(
+                    "", F.transform(F.sequence(F.lit(0), F.lit(9)), loc)
+                ),
+                F.lit("</urlset>"),
+            ).alias("body"),
+        )
+    )
+    return sitemap_seeds(sm)
+
+
 def _q_scrub_pii(spark, sf_dir):
     """PII redaction: deterministic fake PII appended per doc (so the
     scrub provably fires), then the email/phone/ipv4 patterns redact
@@ -877,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "repetition_features": _q_repetition,
         "segment_dedup": _q_segment_dedup,
+        "gopher_gate": _q_gopher_gate,
+        "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "corpus_mix": _q_corpus_mix,
         "wet_records": _q_wet_records,
@@ -1312,6 +1354,79 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "gopher_gate": """
+            WITH g1 AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS g
+              FROM documents
+            ),
+            c1 AS (
+              SELECT doc_id, g, count(*) AS c FROM g1
+              WHERE g <> '' GROUP BY doc_id, g
+            ),
+            s1 AS (
+              SELECT doc_id, sum(c) AS total, count(*) AS dist FROM c1
+              GROUP BY doc_id
+            ),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS g
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM documents)
+            ),
+            c2 AS (
+              SELECT doc_id, g, count(*) AS c FROM g2
+              WHERE g <> '' GROUP BY doc_id, g
+            ),
+            s2 AS (
+              SELECT doc_id, sum(c) AS total, max(c) AS top FROM c2
+              GROUP BY doc_id
+            ),
+            feats AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(s1.total, 0) AS BIGINT) AS n_tokens,
+                     round(CASE WHEN coalesce(s1.total, 0) > 0
+                           THEN 1 - coalesce(s1.dist, 0)
+                                / greatest(coalesce(s1.total, 0), 1)
+                           ELSE 0 END, 6) AS dup_token_frac,
+                     round(CASE WHEN coalesce(s2.total, 0) > 0
+                           THEN coalesce(s2.top, 0)
+                                / greatest(coalesce(s2.total, 0), 1)
+                           ELSE 0 END, 6) AS top_2gram_frac
+              FROM documents d
+              LEFT JOIN s1 ON d.doc_id = s1.doc_id
+              LEFT JOIN s2 ON d.doc_id = s2.doc_id
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string([x FOR x IN [
+                     CASE WHEN n_tokens < 5 THEN 'too_short' END,
+                     CASE WHEN dup_token_frac > 0.8
+                          THEN 'repetitive_tokens' END,
+                     CASE WHEN top_2gram_frac > 0.2
+                          THEN 'repetitive_2grams' END
+                   ] IF x IS NOT NULL], ','), '') AS drop_reasons,
+                   coalesce(array_to_string([x FOR x IN [
+                     CASE WHEN n_tokens < 5 THEN 'too_short' END,
+                     CASE WHEN dup_token_frac > 0.8
+                          THEN 'repetitive_tokens' END,
+                     CASE WHEN top_2gram_frac > 0.2
+                          THEN 'repetitive_2grams' END
+                   ] IF x IS NOT NULL], ','), '') = '' AS keep
+            FROM feats
+        """,
+        "sitemap_seeds": f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents)
+            SELECT DISTINCT
+                   {_URL.format(id="d.doc_id")} AS sitemap_url,
+                   {_URL.format(id="((d.doc_id + j.j * 7 + 1) % nn.n)")}
+                       AS seed_url
+            FROM documents d
+            CROSS JOIN nn
+            CROSS JOIN (SELECT unnest(range(0, 10)) AS j) j
+            WHERE d.doc_id % 50 = 0
         """,
         "stratified_sample": f"""
             SELECT doc_id, source FROM (

@@ -454,3 +454,45 @@ def test_wet_conversion_records(spark):
         assert not rec.errors
         assert rec.content_length == r["content_length"]
         assert rec.get_header(b"Content-Type") == b"text/plain"
+
+
+def test_gopher_gate_reasons(spark):
+    from warctools_spark.operators.text_analysis import gopher_gate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a a a"),        # repetitive tokens + 2grams
+            (2, "one two"),                     # too short
+            (3, " ".join(f"w{i}" for i in range(40))),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_gate(docs).collect()}
+    assert "repetitive_tokens" in out[1]["drop_reasons"]
+    assert "repetitive_2grams" in out[1]["drop_reasons"]
+    # a 2-token doc's single 2-gram is trivially 100% -> both fire
+    assert out[2]["drop_reasons"] == "too_short,repetitive_2grams"
+    assert out[3]["keep"] and out[3]["drop_reasons"] == ""
+
+
+def test_sitemap_seeds_extraction(spark):
+    from warctools_spark.operators.frontier import sitemap_seeds
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/sitemap.xml",
+             '<?xml version="1.0"?><urlset><url><loc>http://a.example/1</loc>'
+             "</url><url><loc>http://a.example/2</loc></url></urlset>"),
+            ("http://a.example/page.html", "<html>not a sitemap</html>"),
+            ("http://b.example/sitemap_index.xml",
+             "<sitemapindex><sitemap><loc>http://b.example/sm1.xml</loc>"
+             "</sitemap></sitemapindex>"),
+        ],
+        "url string, body string",
+    )
+    rows = {(r["sitemap_url"], r["seed_url"]) for r in sitemap_seeds(pages).collect()}
+    assert rows == {
+        ("http://a.example/sitemap.xml", "http://a.example/1"),
+        ("http://a.example/sitemap.xml", "http://a.example/2"),
+        ("http://b.example/sitemap_index.xml", "http://b.example/sm1.xml"),
+    }

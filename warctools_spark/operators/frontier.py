@@ -273,3 +273,29 @@ def link_rank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def sitemap_seeds(
+    pages: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """Seed discovery from sitemap XML payloads: gate on
+    sitemap-shaped documents (<urlset>/<sitemapindex> root), pull
+    every <loc> with one JVM regexp pass, distinct the result.
+
+    Crawl-frontier role: sitemaps are the highest-precision seed
+    source a polite crawler has — their URLs enter the frontier at
+    depth 0 alongside the configured seed list. regexp_extract_all is
+    whole-stage-codegen'd; the only shuffle is the final distinct on
+    (already small) seed URLs."""
+    body = F.col(body_col)
+    is_sitemap = body.rlike("<(urlset|sitemapindex)[\\s>]")
+    locs = F.regexp_extract_all(body, F.lit("<loc>([^<]*)</loc>"), F.lit(1))
+    return (
+        pages.where(is_sitemap)
+        .select(
+            F.col(url_col).alias("sitemap_url"),
+            F.explode(locs).alias("seed_url"),
+        )
+        .where(F.col("seed_url") != "")
+        .distinct()
+    )

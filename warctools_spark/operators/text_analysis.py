@@ -244,3 +244,32 @@ def repetition_features(
             F.coalesce("t2_top", F.lit(0)) / tot2, "t2_total"
         ).alias("top_2gram_frac"),
     )
+
+
+def gopher_gate(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composed Gopher-style document gate (Rae et al. 2021 Table A1):
+    length + repetition thresholds folded into a keep/drop decision
+    with machine-readable reasons. Same plan shape as
+    repetition_features (it is that plan plus a projection)."""
+    feats = repetition_features(docs, text_col=text_col, id_col=id_col)
+    reasons = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                F.when(F.col("n_tokens") < 5, F.lit("too_short")),
+                F.when(
+                    F.col("dup_token_frac") > 0.8, F.lit("repetitive_tokens")
+                ),
+                F.when(
+                    F.col("top_2gram_frac") > 0.2, F.lit("repetitive_2grams")
+                ),
+            ),
+            lambda r: r.isNotNull(),
+        ),
+    )
+    return feats.select(
+        id_col,
+        reasons.alias("drop_reasons"),
+    ).withColumn("keep", F.col("drop_reasons") == "")
