@@ -357,6 +357,16 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+def _q_fixed_n_sample(spark, sf_dir):
+    """Exactly-5-per-source deterministic sample (hash-ranked,
+    WindowGroupLimit plan)."""
+    from warctools_spark.operators.sampling import fixed_n_sample
+
+    return fixed_n_sample(_docs(spark, sf_dir), 5).select(
+        "doc_id", "source"
+    )
+
+
 def _q_corpus_mix(spark, sf_dir):
     """Achieved-vs-corpus mixing-ratio audit for the stratified
     sample."""
@@ -920,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gate": _q_gopher_gate,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
+        "fixed_n_sample": _q_fixed_n_sample,
         "corpus_mix": _q_corpus_mix,
         "wet_records": _q_wet_records,
         "embedding_topk": _q_embedding_topk,
@@ -1437,6 +1448,19 @@ def oracle_sql() -> dict[str, str]:
                      {_MIX_FRAC_SQL} AS f
               FROM documents
             ) WHERE u < f
+        """,
+        "fixed_n_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (CAST(('0x' || substr(md5('mix-v1:'
+                                 || CAST(doc_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) % 1000000) ASC,
+                                doc_id ASC
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 5
         """,
         "corpus_mix": f"""
             WITH samp AS (

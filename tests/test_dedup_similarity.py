@@ -496,3 +496,16 @@ def test_sitemap_seeds_extraction(spark):
         ("http://a.example/sitemap.xml", "http://a.example/2"),
         ("http://b.example/sitemap_index.xml", "http://b.example/sm1.xml"),
     }
+
+
+def test_fixed_n_sample_exact_counts_and_stability(spark):
+    from warctools_spark.operators.sampling import fixed_n_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = fixed_n_sample(docs.repartition(3), 4)
+    b = fixed_n_sample(docs.repartition(13), 4)
+    ca = a.groupBy("source").count().collect()
+    assert all(r["count"] == 4 for r in ca) and len(ca) == 20
+    assert set(r["doc_id"] for r in a.collect()) == set(
+        r["doc_id"] for r in b.collect()
+    )

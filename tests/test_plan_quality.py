@@ -169,3 +169,11 @@ def test_stratified_sample_is_zero_exchange_scan_filter(spark):
     plan = _plan(stratified_sample(docs, {"src0": 1.0, "src1": 0.5}))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_fixed_n_sample_uses_window_group_limit(spark):
+    from warctools_spark.operators.sampling import fixed_n_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(fixed_n_sample(docs, 5))
+    assert "WindowGroupLimit" in plan  # top-N pushed below the shuffle

@@ -66,3 +66,32 @@ def mix_report(
             ).alias("achieved_frac"),
         )
     )
+
+
+def fixed_n_sample(
+    docs: DataFrame,
+    n_per_stratum: int,
+    seed: str = "mix-v1",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sample: rank rows inside
+    each stratum by the (seed, id) hash and keep the N smallest.
+    Unlike fraction sampling this guarantees exact counts (eval-set
+    carving, per-domain caps); like it, the selection is independent
+    of partitioning and rerun-stable.
+
+    Scale: rank-within-group compiles to WindowGroupLimit — Spark
+    pushes the top-N below the shuffle, so each map task ships at most
+    N rows per stratum it sees, never the full stratum (same plan
+    property as the politeness scheduler, pinned in
+    test_plan_quality)."""
+    from pyspark.sql import Window
+
+    h = hash_unit(F.col(id_col), seed)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
