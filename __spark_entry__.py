@@ -391,6 +391,38 @@ def _q_wet_records(spark, sf_dir):
     )
 
 
+def _q_training_corpus_v2(spark, sf_dir):
+    """The modern composed chain: gopher gate -> exact dedup ->
+    C4 segment dedup -> PII scrub, full-chain SQL oracle. The corpus
+    is salted with synthesized duplicates so every stage provably
+    fires: doc_id+100000 exact copies of docs 0..49 (dropped by exact
+    dedup) and doc_id+200000 extended copies of docs 50..59 (their
+    shared leading segments dropped by segment dedup)."""
+    from warctools_spark.plans.corpus import prepare_training_corpus_v2
+
+    docs = _docs(spark, sf_dir)
+    exact_copies = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    near_copies = docs.where(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 60)
+    ).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" qq ww ee rr tt yy uu ii oo pp")
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(exact_copies).unionByName(near_copies)
+    return prepare_training_corpus_v2(corpus)
+
+
 def _q_gopher_gate(spark, sf_dir):
     """Composed Gopher-style keep/drop gate with reasons."""
     from warctools_spark.operators.text_analysis import gopher_gate
@@ -928,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": _q_repetition,
         "segment_dedup": _q_segment_dedup,
         "gopher_gate": _q_gopher_gate,
+        "training_corpus_v2": _q_training_corpus_v2,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1365,6 +1398,117 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "training_corpus_v2": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+              WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + 200000,
+                     text || ' qq ww ee rr tt yy uu ii oo pp'
+              FROM documents WHERE doc_id >= 50 AND doc_id < 60
+            ),
+            g1 AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS g
+              FROM corpus
+            ),
+            c1 AS (
+              SELECT doc_id, g, count(*) AS c FROM g1
+              WHERE g <> '' GROUP BY doc_id, g
+            ),
+            s1 AS (
+              SELECT doc_id, sum(c) AS total, count(*) AS dist FROM c1
+              GROUP BY doc_id
+            ),
+            g2x AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS g
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM corpus)
+            ),
+            c2 AS (
+              SELECT doc_id, g, count(*) AS c FROM g2x
+              WHERE g <> '' GROUP BY doc_id, g
+            ),
+            s2 AS (
+              SELECT doc_id, sum(c) AS total, max(c) AS top FROM c2
+              GROUP BY doc_id
+            ),
+            gate AS (
+              SELECT d.doc_id FROM corpus d
+              LEFT JOIN s1 ON d.doc_id = s1.doc_id
+              LEFT JOIN s2 ON d.doc_id = s2.doc_id
+              WHERE CAST(coalesce(s1.total, 0) AS BIGINT) >= 5
+                AND round(CASE WHEN coalesce(s1.total, 0) > 0
+                      THEN 1 - coalesce(s1.dist, 0)
+                           / greatest(coalesce(s1.total, 0), 1)
+                      ELSE 0 END, 6) <= 0.8
+                AND round(CASE WHEN coalesce(s2.total, 0) > 0
+                      THEN coalesce(s2.top, 0)
+                           / greatest(coalesce(s2.total, 0), 1)
+                      ELSE 0 END, 6) <= 0.2
+            ),
+            gated AS (
+              SELECT d.* FROM corpus d JOIN gate USING (doc_id)
+            ),
+            kept AS (
+              SELECT * FROM gated WHERE doc_id IN (
+                SELECT min(doc_id) FROM gated
+                GROUP BY md5({_NORM.format(c="text")})
+              )
+            ),
+            segarr AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) > 0 THEN
+                  list_transform(
+                    range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+                    i -> array_to_string(t[i*10+1 : i*10+10], ' '))
+                ELSE [] END AS segs
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM kept)
+            ),
+            seg AS (
+              SELECT doc_id, u['pos'] AS pos, u['seg'] AS seg
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(segs)+1),
+                                  i -> {{'pos': i-1, 'seg': segs[i]}})) AS u
+                    FROM segarr)
+            ),
+            ranked AS (
+              SELECT doc_id, pos, seg,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY doc_id, pos) AS rn
+              FROM seg
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            ),
+            ntot AS (
+              SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id
+            )
+            SELECT k.doc_id,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       coalesce(r.clean_text, ''),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                       '<EMAIL>', 'g'),
+                       '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}',
+                       '<IPV4>', 'g'),
+                       '\\+?[0-9][0-9()\\-\\. ]{{7,}}[0-9]', '<PHONE>', 'g'))
+                       AS final_md5,
+                   CAST(coalesce(nt.n_segments, 0) AS BIGINT) AS n_segments,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM kept k
+            LEFT JOIN ntot nt ON k.doc_id = nt.doc_id
+            LEFT JOIN rebuilt r ON k.doc_id = r.doc_id
         """,
         "gopher_gate": """
             WITH g1 AS (

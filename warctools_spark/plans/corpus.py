@@ -98,3 +98,44 @@ def write_training_shards(
     spark = docs.sparkSession
     written = spark.read.parquet(path)
     return {"rows": written.count(), "shards": shards}
+
+
+def prepare_training_corpus_v2(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The modern corpus-preparation chain, every stage relational:
+
+      gopher_gate (repetition/length drop reasons)
+        -> exact_dedup_keep_first (byte-identical collapse)
+        -> segment_dedup (C4-style corpus-level span dedup)
+        -> scrub_pii (redaction on the surviving text)
+
+    Returns (doc_id, final_md5, n_segments, n_kept) where final_md5
+    fingerprints the scrubbed deduplicated text — the value a
+    downstream tokenizer run can pin for reproducibility.
+
+    Stage order is the cheap-first rule v1 follows: the gate is a
+    scan-side agg prune; exact dedup collapses identical boilerplate
+    before the (heavier) segment pass; PII scrubbing runs last so it
+    only pays for surviving bytes."""
+    from warctools_spark.operators.dedup import (
+        exact_dedup_keep_first,
+        segment_dedup,
+    )
+    from warctools_spark.operators.text_analysis import gopher_gate, scrub_pii
+
+    gate = gopher_gate(docs, text_col=text_col, id_col=id_col).where(
+        F.col("keep")
+    ).select(id_col)
+    gated = docs.join(gate, on=id_col)
+    kept = exact_dedup_keep_first(gated, text_col, id_col)
+    seg = segment_dedup(kept, k=k, text_col=text_col, id_col=id_col)
+    return seg.select(
+        id_col,
+        F.md5(scrub_pii(F.col("clean_text"))).alias("final_md5"),
+        "n_segments",
+        "n_kept",
+    )
