@@ -140,6 +140,19 @@ def q_bloom_bucketed(spark, pages_path):
     return two_tier_dedup(spark, cand, seen, n_buckets=CPUS).count()
 
 
+def q_segment_dedup(spark, pages_path):
+    """Extra measurement: C4-style corpus-level segment dedup over the
+    documents table (the heaviest of the training-data text operators:
+    posexplode -> keeper hash agg -> join -> ordered reassembly)."""
+    from warctools_spark.operators.dedup import segment_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    out = segment_dedup(docs, k=10)
+    return out.agg(
+        F.sum("n_segments").alias("s"), F.sum("n_kept").alias("k")
+    ).collect()[0]["k"]
+
+
 def main():
     from warctools_spark.session import get_spark
 
@@ -186,6 +199,13 @@ def main():
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     extra["bloom_bucketed"] = round(best, 3)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        results["segment_dedup"] = q_segment_dedup(spark, pages_path)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    extra["segment_dedup"] = round(best, 3)
 
     from warctools_spark.sources.pages import N_LINKS
 
