@@ -30,6 +30,12 @@ def main():
     )
     ap.add_argument("--bloom-fpr", type=float, default=0.01)
     ap.add_argument("--hot-host-threshold", type=int, default=None)
+    ap.add_argument(
+        "--sitemap-seeds",
+        action="store_true",
+        help="augment the seed list with URLs discovered in sitemap "
+        "XML pages of the corpus (depth-0 entries)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,6 +61,17 @@ def main():
             seeds = spark.read.parquet(args.seeds)
         else:
             seeds = spark.read.text(args.seeds).withColumnRenamed("value", "url")
+        if args.sitemap_seeds:
+            from pyspark.sql import functions as F
+
+            from warctools_spark.operators.frontier import (
+                discover_sitemap_seeds,
+            )
+
+            extra = discover_sitemap_seeds(pages).select(
+                F.col("seed_url").alias("url")
+            )
+            seeds = seeds.select("url").unionByName(extra).distinct()
 
     metrics = run_crawl(
         spark,

@@ -509,3 +509,26 @@ def test_fixed_n_sample_exact_counts_and_stability(spark):
     assert set(r["doc_id"] for r in a.collect()) == set(
         r["doc_id"] for r in b.collect()
     )
+
+
+def test_discover_sitemap_seeds_from_wire_pages(spark):
+    from warctools_spark.operators.frontier import discover_sitemap_seeds
+
+    xml = (b'<?xml version="1.0"?><urlset>'
+           b"<url><loc>http://s.example/a</loc></url>"
+           b"<url><loc>http://s.example/b</loc></url></urlset>")
+    wire = (b"HTTP/1.1 200 OK\r\nContent-Type: application/xml\r\n"
+            b"Content-Length: " + str(len(xml)).encode() + b"\r\n\r\n" + xml)
+    html = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: 12\r\n\r\n<html></html>"[:64])
+    pages = spark.createDataFrame(
+        [("http://s.example/sitemap.xml", bytearray(wire)),
+         ("http://s.example/p.html", bytearray(html))],
+        "url string, html binary",
+    )
+    got = {(r["sitemap_url"], r["seed_url"])
+           for r in discover_sitemap_seeds(pages).collect()}
+    assert got == {
+        ("http://s.example/sitemap.xml", "http://s.example/a"),
+        ("http://s.example/sitemap.xml", "http://s.example/b"),
+    }

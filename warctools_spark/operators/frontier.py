@@ -299,3 +299,19 @@ def sitemap_seeds(
         .where(F.col("seed_url") != "")
         .distinct()
     )
+
+
+def discover_sitemap_seeds(pages: DataFrame) -> DataFrame:
+    """sitemap_seeds over raw WARC-shaped pages: decode the HTTP wire
+    payload (one Arrow pass), then the JVM-side <loc> extraction.
+    Returns distinct (sitemap_url, seed_url) ready to union into the
+    crawl seed list at depth 0."""
+    from warctools_spark.functions.udfs import udf_decode_http
+
+    bodies = pages.select(
+        "url",
+        udf_decode_http(F.col("html"))["decoded_body"]
+        .cast("string")
+        .alias("body"),
+    ).where(F.col("body").isNotNull())
+    return sitemap_seeds(bodies)
