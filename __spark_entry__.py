@@ -423,6 +423,15 @@ def _q_training_corpus_v2(spark, sf_dir):
     return prepare_training_corpus_v2(corpus)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: distributed two-phase prefix sum
+    over id-ordered token counts; oracle replays the logical
+    sum() OVER (ORDER BY doc_id)."""
+    from warctools_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=128)
+
+
 def _q_gopher_gate(spark, sf_dir):
     """Composed Gopher-style keep/drop gate with reasons."""
     from warctools_spark.operators.text_analysis import gopher_gate
@@ -961,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": _q_segment_dedup,
         "gopher_gate": _q_gopher_gate,
         "training_corpus_v2": _q_training_corpus_v2,
+        "pack_sequences": _q_pack_sequences,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1398,6 +1408,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "pack_sequences": """
+            SELECT doc_id,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS tok_start,
+                   CAST(floor((cum - n_tokens) / 128.0) AS BIGINT)
+                       AS seq_first,
+                   CAST(floor(greatest(cum - 1, cum - n_tokens) / 128.0)
+                        AS BIGINT) AS seq_last
+            FROM (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                       END AS n_tokens
+                FROM documents
+              )
+            )
         """,
         "training_corpus_v2": f"""
             WITH corpus AS (

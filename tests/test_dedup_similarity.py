@@ -532,3 +532,23 @@ def test_discover_sitemap_seeds_from_wire_pages(spark):
         ("http://s.example/sitemap.xml", "http://s.example/a"),
         ("http://s.example/sitemap.xml", "http://s.example/b"),
     }
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """The two-phase distributed prefix sum equals the logical global
+    ORDER BY doc_id scan at any parallelism."""
+    from warctools_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {r["doc_id"]: (r["tok_start"], r["seq_first"], r["seq_last"])
+         for r in pack_sequences(docs, seq_len=64, n_parts=2).collect()}
+    b = {r["doc_id"]: (r["tok_start"], r["seq_first"], r["seq_last"])
+         for r in pack_sequences(docs, seq_len=64, n_parts=17).collect()}
+    assert a == b
+    # offsets are a prefix sum: contiguous, starting at 0
+    ordered = [a[k] for k in sorted(a)]
+    assert ordered[0][0] == 0
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, seq_len=64, n_parts=5).collect()}
+    ids = sorted(rows)
+    for prev, nxt in zip(ids, ids[1:]):
+        assert rows[nxt]["tok_start"] == rows[prev]["tok_start"] + rows[prev]["n_tokens"]
