@@ -423,6 +423,49 @@ def _q_training_corpus_v2(spark, sf_dir):
     return prepare_training_corpus_v2(corpus)
 
 
+def _q_anchor_texts(spark, sf_dir):
+    """Anchor-text harvest: (src_url, link, anchor) from decoded
+    pages — training-data signal (anchor text describes the target)
+    and crawl-priority feature. JVM-only zip of the two regexp
+    capture groups; the full messy-HTML path stays with the link
+    kernel."""
+    from warctools_spark.functions.udfs import udf_extract_text
+
+    pages = _pages(spark, sf_dir)
+    text = udf_extract_text("html")
+    hrefs = F.regexp_extract_all(text, F.lit('<a href="([^"]*)"[^>]*>'), F.lit(1))
+    anchors = F.regexp_extract_all(
+        text, F.lit('<a href="[^"]*"[^>]*>([^<]*)</a>'), F.lit(1)
+    )
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(F.arrays_zip(hrefs, anchors)).alias("z"),
+        )
+        .select(
+            "src_url",
+            F.col("z")["0"].alias("link"),
+            F.col("z")["1"].alias("anchor"),
+        )
+    )
+
+
+def _q_host_graph(spark, sf_dir):
+    """Host-level link graph with edge weights — the aggregation that
+    feeds host-granularity PageRank/selection at Common-Crawl scale
+    (one hash agg; hosts are ~5 orders smaller than URLs)."""
+    from warctools_spark.operators.frontier import harvest_canonicalized
+
+    pages = _pages(spark, sf_dir)
+    edges = harvest_canonicalized(pages).select(
+        F.parse_url("src_url", F.lit("HOST")).alias("src_host"),
+        F.col("host").alias("dst_host"),
+    )
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links")
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing: distributed two-phase prefix sum
     over id-ordered token counts; oracle replays the logical
@@ -971,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gate": _q_gopher_gate,
         "training_corpus_v2": _q_training_corpus_v2,
         "pack_sequences": _q_pack_sequences,
+        "anchor_texts": _q_anchor_texts,
+        "host_graph": _q_host_graph,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1408,6 +1453,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "anchor_texts": _LINKS_CTE
+        + f"""
+            SELECT src_url, {_URL.format(id="target")} AS link,
+                   'link ' || i AS anchor
+            FROM links
+        """,
+        "host_graph": _LINKS_CTE
+        + f"""
+            SELECT {_HOST.format(id="d.doc_id")} AS src_host,
+                   {_HOST.format(id="target")} AS dst_host,
+                   count(*) AS n_links
+            FROM links JOIN documents d ON links.doc_id = d.doc_id
+            GROUP BY 1, 2
         """,
         "pack_sequences": """
             SELECT doc_id,
