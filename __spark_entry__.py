@@ -423,6 +423,36 @@ def _q_training_corpus_v2(spark, sf_dir):
     return prepare_training_corpus_v2(corpus)
 
 
+def _q_robots_sitemaps(spark, sf_dir):
+    """robots.txt Sitemap-directive discovery: one synthesized
+    robots.txt per host runs through the real parse kernel
+    (udf_parse_robots); the oracle replays the expected table from
+    the host model."""
+    from warctools_spark.operators.robots import parse_robots_table
+    from warctools_spark.sources.pages import host_expr
+
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(host_expr(F.col("doc_id")).alias("host")).distinct()
+    raw = hosts.select(
+        "host",
+        F.encode(
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private\nCrawl-delay: 1\n"),
+                F.lit("Sitemap: http://"),
+                F.col("host"),
+                F.lit("/sitemap.xml\n"),
+            ),
+            "utf-8",
+        ).alias("robots_txt"),
+    )
+    t = parse_robots_table(raw)
+    return t.select(
+        "host",
+        F.explode("sitemaps").alias("sitemap_url"),
+        "crawl_delay_ms",
+    )
+
+
 def _q_anchor_texts(spark, sf_dir):
     """Anchor-text harvest: (src_url, link, anchor) from decoded
     pages — training-data signal (anchor text describes the target)
@@ -1016,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "anchor_texts": _q_anchor_texts,
         "host_graph": _q_host_graph,
+        "robots_sitemaps": _q_robots_sitemaps,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1453,6 +1484,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "robots_sitemaps": f"""
+            SELECT host,
+                   'http://' || host || '/sitemap.xml' AS sitemap_url,
+                   1000 AS crawl_delay_ms
+            FROM (
+              SELECT DISTINCT {_HOST.format(id="doc_id")} AS host
+              FROM documents
+            )
         """,
         "anchor_texts": _LINKS_CTE
         + f"""

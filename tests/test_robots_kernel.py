@@ -60,3 +60,19 @@ def test_empty_and_none():
     r = parse_robots(b"")
     assert r.crawl_delay_ms is None and r.disallow == [] and r.allow == []
     assert is_allowed(r, "/anything")
+
+
+def test_sitemap_directive_is_global():
+    from warctools_spark.kernels.robots import parse_robots
+
+    txt = (b"Sitemap: http://h/top.xml\n"
+           b"User-agent: other\nDisallow: /x\n"
+           b"Sitemap: http://h/mid.xml\n"
+           b"User-agent: *\nDisallow: /p\n"
+           b"Sitemap: http://h/in-group.xml\n")
+    r = parse_robots(txt)
+    # all three captured regardless of group membership
+    assert r.sitemaps == [
+        "http://h/top.xml", "http://h/mid.xml", "http://h/in-group.xml"
+    ]
+    assert r.disallow == ["/p"]

@@ -17,6 +17,7 @@ class RobotsRules:
     crawl_delay_ms: int | None = None
     disallow: list = field(default_factory=list)
     allow: list = field(default_factory=list)
+    sitemaps: list = field(default_factory=list)
 
 
 def parse_robots(data: bytes | str, agent: str = "*") -> RobotsRules:
@@ -36,6 +37,11 @@ def parse_robots(data: bytes | str, agent: str = "*") -> RobotsRules:
         key, _, value = line.partition(":")
         key = key.strip().lower()
         value = value.strip()
+        if key == "sitemap":
+            # Sitemap is a group-independent (global) directive
+            if value:
+                rules.sitemaps.append(value)
+            continue
         if key == "user-agent":
             if in_rules:
                 # a rule block ended; this user-agent starts a new group

@@ -22,23 +22,26 @@ ROBOTS_STRUCT = T.StructType(
         T.StructField("crawl_delay_ms", T.IntegerType()),
         T.StructField("disallow", T.ArrayType(T.StringType())),
         T.StructField("allow", T.ArrayType(T.StringType())),
+        T.StructField("sitemaps", T.ArrayType(T.StringType())),
     ]
 )
 
 
 @pandas_udf(ROBOTS_STRUCT)
 def udf_parse_robots(robots_txt: pd.Series) -> pd.DataFrame:
-    rows = {"crawl_delay_ms": [], "disallow": [], "allow": []}
+    rows = {"crawl_delay_ms": [], "disallow": [], "allow": [], "sitemaps": []}
     for data in robots_txt:
         if data is None:
             rows["crawl_delay_ms"].append(None)
             rows["disallow"].append([])
             rows["allow"].append([])
+            rows["sitemaps"].append([])
             continue
         r = parse_robots(bytes(data))
         rows["crawl_delay_ms"].append(r.crawl_delay_ms)
         rows["disallow"].append(r.disallow)
         rows["allow"].append(r.allow)
+        rows["sitemaps"].append(r.sitemaps)
     return pd.DataFrame(rows)
 
 
@@ -52,6 +55,7 @@ def parse_robots_table(raw: DataFrame) -> DataFrame:
         F.col("r.crawl_delay_ms").alias("crawl_delay_ms"),
         F.col("r.disallow").alias("disallow"),
         F.col("r.allow").alias("allow"),
+        F.col("r.sitemaps").alias("sitemaps"),
     )
 
 
