@@ -423,6 +423,14 @@ def _q_training_corpus_v2(spark, sf_dir):
     return prepare_training_corpus_v2(corpus)
 
 
+def _q_cdx_index(spark, sf_dir):
+    """CDX-style replay index (SURT urlkey, ts14, mime, status,
+    digest, length) over the pages corpus."""
+    from warctools_spark.operators.archive_ops import cdx_index
+
+    return cdx_index(_pages(spark, sf_dir))
+
+
 def _q_robots_sitemaps(spark, sf_dir):
     """robots.txt Sitemap-directive discovery: one synthesized
     robots.txt per host runs through the real parse kernel
@@ -1047,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": _q_anchor_texts,
         "host_graph": _q_host_graph,
         "robots_sitemaps": _q_robots_sitemaps,
+        "cdx_index": _q_cdx_index,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1484,6 +1493,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "cdx_index": f"""
+            SELECT array_to_string(list_reverse(string_split(
+                       {_HOST.format(id="d.doc_id")}, '.')), ',')
+                     || ')/doc/' || d.doc_id || '.html' AS urlkey,
+                   strftime(TIMESTAMP '2013-11-13 00:00:00'
+                            + to_seconds(d.doc_id), '%Y%m%d%H%M%S')
+                       AS ts14,
+                   {_URL.format(id="d.doc_id")} AS original,
+                   'text/html' AS mime,
+                   200 AS status,
+                   sha256({html_doc}) AS digest,
+                   CAST(octet_length(encode({html_doc})) AS INT) AS length
+            FROM documents d
+            CROSS JOIN (SELECT count(*) AS n FROM documents) nn
         """,
         "robots_sitemaps": f"""
             SELECT host,

@@ -262,3 +262,36 @@ def wet_conversion(pages: DataFrame) -> DataFrame:
         "url string, rec_type string, refers_to string, "
         "content_length long, payload_md5 string, record_bytes binary",
     )
+
+
+def cdx_index(pages: DataFrame) -> DataFrame:
+    """CDX-style replay index over response pages: SURT url key,
+    14-digit timestamp, original url, mime, http status, payload
+    digest, payload length — the standard web-archive lookup table
+    (field set per the public CDX conventions; digest is sha256 hex
+    rather than the legacy sha1-base32, documented engine choice).
+
+    Everything except the HTTP decode (one Arrow pass) is JVM
+    expression work; the output is sorted downstream by (urlkey, ts)
+    when written, which is what makes binary-search replay possible
+    on a plain sorted file at archive scale."""
+    from warctools_spark.functions.udfs import udf_decode_http, udf_extract_text
+
+    h = udf_decode_http(F.col("html"))
+    host = F.parse_url("url", F.lit("HOST"))
+    path = F.parse_url("url", F.lit("PATH"))
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        path,
+    )
+    text = udf_extract_text(F.col("html"))
+    return pages.select(
+        surt.alias("urlkey"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
+        F.col("url").alias("original"),
+        h["mime"].alias("mime"),
+        h["code"].alias("status"),
+        F.sha2(F.encode(text, "utf-8"), 256).alias("digest"),
+        F.length(F.encode(text, "utf-8")).alias("length"),
+    )
