@@ -683,6 +683,35 @@ def _q_link_rank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_host_rank(spark, sf_dir):
+    """Host-granularity PageRank over the (weighted, via duplicate
+    edges) host link graph — the Common-Crawl-style host selection
+    signal. Hosts are ~5 orders fewer than URLs, so this is the rank
+    that is actually affordable to iterate at 100 TB."""
+    from warctools_spark.operators.frontier import link_rank
+    from warctools_spark.sources.pages import host_expr
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("s"),
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
+        )
+        .select(
+            host_expr(F.col("s")).alias("src"),
+            host_expr((F.col("s") * 31 + F.col("i") * 97 + 7) % n).alias(
+                "dst"
+            ),
+        )
+    )
+    vertices = docs.select(host_expr(F.col("doc_id")).alias("node")).distinct()
+    ranks = link_rank(edges, vertices, iterations=2, id_col="node")
+    return ranks.select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("rank")
+    )
+
+
 def _q_politeness_budgeted(spark, sf_dir):
     """Crawl-delay budget windows (robots Crawl-delay semantics): a
     host allows min(k, epoch_ms/crawl_delay) fetches per epoch. The
@@ -1056,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "robots_sitemaps": _q_robots_sitemaps,
         "cdx_index": _q_cdx_index,
+        "host_rank": _q_host_rank,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1493,6 +1523,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "host_rank": f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+              SELECT {_HOST.format(id="doc_id")} AS src,
+                     {_HOST.format(id="((doc_id * 31 + t.i * 97 + 7) % nn.n)")}
+                       AS dst
+              FROM documents, nn, UNNEST([0,1,2,3,4,5,6,7]) AS t(i)
+            ),
+            v AS (SELECT DISTINCT src AS node FROM (
+                    SELECT {_HOST.format(id="doc_id")} AS src
+                    FROM documents)),
+            hn AS (SELECT count(*) AS n FROM v),
+            d AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            r0 AS (SELECT node, 1.0::DOUBLE / hn.n AS rank
+                   FROM v CROSS JOIN hn),
+            r1 AS (
+              SELECT v.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) * (1.0::DOUBLE / hn.n)
+                       + 0.85::DOUBLE * coalesce(s.in_sum, 0) AS rank
+              FROM v CROSS JOIN hn LEFT JOIN (
+                SELECT e.dst AS node, sum(r0.rank / d.out_deg) AS in_sum
+                FROM e JOIN r0 ON r0.node = e.src JOIN d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = v.node
+            ),
+            r2 AS (
+              SELECT v.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) * (1.0::DOUBLE / hn.n)
+                       + 0.85::DOUBLE * coalesce(s.in_sum, 0) AS rank
+              FROM v CROSS JOIN hn LEFT JOIN (
+                SELECT e.dst AS node, sum(r1.rank / d.out_deg) AS in_sum
+                FROM e JOIN r1 ON r1.node = e.src JOIN d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = v.node
+            )
+            SELECT node AS host, round(rank, 6) AS rank FROM r2
         """,
         "cdx_index": f"""
             SELECT array_to_string(list_reverse(string_split(
