@@ -683,6 +683,35 @@ def _q_link_rank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_recrawl_priority(spark, sf_dir):
+    """Freshness-driven recrawl scheduling: per entity, observed
+    change events (the 'view' stream stands in as the change signal) give a change rate (events per hour of observed
+    span); next_due = last_seen + 1/rate. The temporal half of crawl
+    scheduling (politeness bounds how often you MAY fetch; change
+    rate decides how often you SHOULD). One map-side-combined hash
+    agg over the event log; exact microsecond arithmetic so the
+    oracle replays it bit-for-bit."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    agg = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.count("*").alias("n_changes"),
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+    )
+    span = F.col("last_us") - F.col("first_us")
+    # interval between changes; single-change entities get the span
+    # floor of 1 hour
+    interval = F.when(
+        F.col("n_changes") > 1,
+        F.floor(span / (F.col("n_changes") - 1)).cast("long"),
+    ).otherwise(F.lit(3600 * 1_000_000))
+    return agg.select(
+        "user_id",
+        "n_changes",
+        (F.col("last_us") + interval).alias("next_due_us"),
+    )
+
+
 def _q_host_rank(spark, sf_dir):
     """Host-granularity PageRank over the (weighted, via duplicate
     edges) host link graph — the Common-Crawl-style host selection
@@ -1086,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": _q_robots_sitemaps,
         "cdx_index": _q_cdx_index,
         "host_rank": _q_host_rank,
+        "recrawl_priority": _q_recrawl_priority,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1523,6 +1553,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "recrawl_priority": """
+            SELECT user_id,
+                   count(*) AS n_changes,
+                   CAST(max(epoch_us(ts))
+                        + CASE WHEN count(*) > 1
+                          THEN CAST(floor((max(epoch_us(ts))
+                               - min(epoch_us(ts)))
+                               / (count(*) - 1)) AS BIGINT)
+                          ELSE 3600000000 END AS BIGINT) AS next_due_us
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id
         """,
         "host_rank": f"""
             WITH nn AS (SELECT count(*) AS n FROM documents),
