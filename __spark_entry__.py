@@ -683,6 +683,30 @@ def _q_link_rank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_revisit_records(spark, sf_dir):
+    """Writer-side digest dedup: mirror copies (same payload, later
+    timestamp, ?m=1 url) of docs 0..49 are salted in; the operator
+    must emit them as `revisit` records referencing the original."""
+    from warctools_spark.operators.archive_ops import revisit_records
+
+    pages = _pages(spark, sf_dir)
+    did = F.regexp_extract("url", r"/doc/(\d+)\.html", 1).cast("long")
+    mirror = (
+        pages.where(did < 50)
+        .select(
+            F.concat(F.col("url"), F.lit("?m=1")).alias("url"),
+            (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+            "html",
+            "text",
+            "lang",
+        )
+    )
+    corpus = pages.unionByName(mirror)
+    return revisit_records(corpus).select(
+        "url", "digest", "record_type", "refers_to_url"
+    )
+
+
 def _q_recrawl_priority(spark, sf_dir):
     """Freshness-driven recrawl scheduling: per entity, observed
     change events (the 'view' stream stands in as the change signal) give a change rate (events per hour of observed
@@ -1116,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": _q_cdx_index,
         "host_rank": _q_host_rank,
         "recrawl_priority": _q_recrawl_priority,
+        "revisit_records": _q_revisit_records,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1553,6 +1578,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "revisit_records": f"""
+            WITH base AS (
+              SELECT {_URL.format(id="d.doc_id")} AS url,
+                     d.doc_id,
+                     sha256({html_doc}) AS digest
+              FROM documents d
+              CROSS JOIN (SELECT count(*) AS n FROM documents) nn
+            )
+            SELECT url, digest, 'response' AS record_type,
+                   CAST(NULL AS VARCHAR) AS refers_to_url
+            FROM base
+            UNION ALL
+            SELECT url || '?m=1', digest, 'revisit', url
+            FROM base WHERE doc_id < 50
         """,
         "recrawl_priority": """
             SELECT user_id,

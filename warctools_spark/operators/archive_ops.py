@@ -295,3 +295,36 @@ def cdx_index(pages: DataFrame) -> DataFrame:
         F.sha2(F.encode(text, "utf-8"), 256).alias("digest"),
         F.length(F.encode(text, "utf-8")).alias("length"),
     )
+
+
+def revisit_records(pages: DataFrame) -> DataFrame:
+    """Writer-side digest dedup (the WARC `revisit` mechanism): the
+    first page per payload digest stays a `response` record; every
+    repeat becomes a `revisit` referencing the original's URL/date —
+    the archive-write twin of arc2warc's resolve_revisits read path.
+
+    First-occurrence selection is min(struct(warc_ts, url)) under a
+    hash agg (map-side combine; same skew-proof shape as
+    segment_dedup's keeper). JVM-only: sha2 over the extracted text."""
+    from warctools_spark.functions.udfs import udf_extract_text
+
+    hashed = pages.withColumn(
+        "digest", F.sha2(F.encode(udf_extract_text(F.col("html")), "utf-8"), 256)
+    )
+    keeper = hashed.groupBy("digest").agg(
+        F.min(F.struct("warc_ts", "url")).alias("k")
+    )
+    out = hashed.join(keeper, on="digest")
+    is_first = (F.col("k.url") == F.col("url")) & (
+        F.col("k.warc_ts") == F.col("warc_ts")
+    )
+    return out.select(
+        "url",
+        "digest",
+        F.when(is_first, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.when(is_first, F.lit(None).cast("string"))
+        .otherwise(F.col("k.url"))
+        .alias("refers_to_url"),
+    )
