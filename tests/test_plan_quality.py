@@ -177,3 +177,27 @@ def test_fixed_n_sample_uses_window_group_limit(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(fixed_n_sample(docs, 5))
     assert "WindowGroupLimit" in plan  # top-N pushed below the shuffle
+
+
+def test_training_corpus_v2_is_all_catalyst(spark):
+    """The composed v2 chain (gate -> exact dedup -> segment dedup ->
+    PII scrub) is pure JVM: no Python eval nodes anywhere in the
+    plan."""
+    from warctools_spark.plans.corpus import prepare_training_corpus_v2
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(prepare_training_corpus_v2(docs))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_segment_and_revisit_keepers_are_hash_aggs_not_windows(spark):
+    """First-occurrence keepers (segment_dedup, revisit_records) must
+    be min-over-struct hash aggs — a window formulation would put a
+    corpus-wide hot segment/digest into one task."""
+    from warctools_spark.operators.dedup import segment_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(segment_dedup(docs))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

@@ -293,3 +293,55 @@ def test_cuckoo_contains_batch_equals_scalar(members, queries):
     got = flt.contains_batch(queries)
     for q, g in zip(queries, got):
         assert bool(g) == flt.contains(q)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_segment_dedup_reconstruction_property(corpora):
+    """Pure-kernel property (no Spark session needed): when every
+    10-token window is globally unique, segment_dedup must be the
+    identity; in general, surviving segments per doc are a prefix-
+    order-preserving subset. Verified against an independent Python
+    model of the keeper rule."""
+    # python model of the operator
+    docs = []
+    for i, words in enumerate(corpora):
+        docs.append((i, " ".join(words)))
+    k = 10
+    seen = {}
+    expect = {}
+    for doc_id, text in docs:
+        toks = text.split() if text.strip() else []
+        segs = [" ".join(toks[j : j + k]) for j in range(0, len(toks), k)]
+        kept = []
+        for pos, s in enumerate(segs):
+            if s not in seen:
+                seen[s] = (doc_id, pos)
+            if seen[s] == (doc_id, pos):
+                kept.append(s)
+        expect[doc_id] = (" ".join(kept), len(segs), len(kept))
+    # oracle-identical SQL replay through DuckDB (same engine the
+    # driver gate uses) — keeps this hypothesis sweep session-free
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    import __spark_entry__ as entry
+
+    sql = entry.oracle_sql()["segment_dedup"]
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == expect
