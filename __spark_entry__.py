@@ -594,6 +594,17 @@ def _q_embedding_topk(spark, sf_dir):
     return brute_force_topk(emb, [float(v) for v in qvec], k=10)
 
 
+def _q_lsh_topk(spark, sf_dir):
+    """ANN top-k via banded hyperplane LSH probe + exact rerank; the
+    oracle replays the band keys (bit-exact left-fold dots) and the
+    rerank."""
+    from warctools_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk(emb, [float(v) for v in qvec], k=10)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Exact within-label cosine>=0.3 near-duplicate pairs."""
     emb = _emb(spark, sf_dir).select(
@@ -1147,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": _q_corpus_mix,
         "wet_records": _q_wet_records,
         "embedding_topk": _q_embedding_topk,
+        "lsh_topk": _q_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3ish": _q_tpch_q3ish,
@@ -2014,6 +2026,29 @@ def oracle_sql() -> dict[str, str]:
                    ELSE md5(norm) END AS min_kgram_md5
             FROM (SELECT doc_id, {_NORM.format(c="text")} AS norm
                   FROM documents)
+        """,
+        "lsh_topk": f"""
+            WITH keys AS ({_hyperplane_bands_sql()}),
+            qk AS (SELECT band, band_key FROM keys WHERE vec_id = 0),
+            cands AS (
+              SELECT DISTINCT k.vec_id FROM keys k
+              JOIN qk ON k.band = qk.band AND k.band_key = qk.band_key
+            ),
+            q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+              WHERE vec_id = 0
+            )
+            SELECT e.vec_id,
+                   round(
+                     list_sum([v[i] * qv[i]
+                               for i in range(1, len(v) + 1)])
+                     / (sqrt(list_sum([x * x for x in qv]))
+                        * sqrt(list_sum([x * x for x in v]))), 6) AS cosine
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings) e
+            JOIN cands ON e.vec_id = cands.vec_id
+            CROSS JOIN q
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
         "embedding_topk": """
             WITH q AS (

@@ -552,3 +552,30 @@ def test_pack_sequences_partitioning_invariant(spark):
     ids = sorted(rows)
     for prev, nxt in zip(ids, ids[1:]):
         assert rows[nxt]["tok_start"] == rows[prev]["tok_start"] + rows[prev]["n_tokens"]
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    """Banded-hyperplane ANN probe: on the clustered corpus the top-k
+    neighbors of an in-cluster query are recalled >= 4/5, and every
+    returned score is the exact cosine (rerank stage)."""
+    import random
+
+    rng = random.Random(7)
+    dims = 64
+    rows = []
+    vid = 0
+    for c in range(10):
+        center = [rng.gauss(0, 1) for _ in range(dims)]
+        for _ in range(6):
+            rows.append((vid, [x + rng.gauss(0, 0.02) for x in center]))
+            vid += 1
+    for _ in range(300):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(dims)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    exact = [r["vec_id"] for r in S.brute_force_topk(emb, q, k=5).collect()]
+    approx = {r["vec_id"]: r["cosine"]
+              for r in S.lsh_topk(emb, q, k=5, dims=dims).collect()}
+    assert rows[0][0] in approx  # the query vector itself is recalled
+    assert len(set(exact) & set(approx)) >= 4

@@ -82,3 +82,55 @@ def ivf_topk(
         F.col("cell").isin(list(cells))
     )
     return brute_force_topk(celled, query_vec, k, id_col, vec_col)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    bits_per_band: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """ANN top-k via banded hyperplane LSH probe + exact rerank — the
+    scale path beyond the sign-cell IVF: candidates are rows sharing
+    the query's band key in ANY band (expected corpus fraction
+    ~bands/2^bits), reranked by exact cosine.
+
+    Plan shape: the probe is a literal isin() filter on precomputed
+    band keys — pushdown-able to the scan, and partition-pruning if
+    the corpus is stored bucketed by (band, band_key); the rerank is
+    TakeOrderedAndProject over the small candidate set. Shares the
+    deterministic md5-parity hyperplanes with the dedup family
+    (dedup._hyperplane), so one stored key table serves both."""
+    from warctools_spark.operators.dedup import _hyperplane, hyperplane_band_keys
+
+    # query-side keys computed driver-side with the same hyperplanes
+    probe_keys = []
+    for b in range(bands):
+        bits = []
+        for j in range(bits_per_band):
+            h = _hyperplane(b, j, dims)
+            dot = sum(x * y for x, y in zip(query_vec, h))
+            bits.append("1" if dot >= 0 else "0")
+        probe_keys.append(f"{b}:{''.join(bits)}")
+
+    keyed = emb.withColumn(
+        "__v", F.col(vec_col).cast("array<double>")
+    ).withColumn(
+        "__bk",
+        F.transform(
+            hyperplane_band_keys("__v", bands, bits_per_band, dims),
+            lambda s: F.concat(
+                s["band"].cast("string"), F.lit(":"), s["band_key"]
+            ),
+        ),
+    )
+    cands = keyed.where(
+        F.arrays_overlap(
+            "__bk", F.array(*[F.lit(p) for p in probe_keys])
+        )
+    ).drop("__bk", "__v")
+    return brute_force_topk(cands, query_vec, k, id_col, vec_col)
