@@ -694,6 +694,23 @@ def _q_link_rank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_corpus_summary(spark, sf_dir):
+    """Per-language corpus audit: doc counts, token totals, exact
+    p50/p90 token-length percentiles (linear interpolation — matches
+    DuckDB quantile_cont)."""
+    from warctools_spark.operators.text_analysis import token_count
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90_tokens"),
+    )
+
+
 def _q_revisit_records(spark, sf_dir):
     """Writer-side digest dedup: mirror copies (same payload, later
     timestamp, ?m=1 url) of docs 0..49 are salted in; the operator
@@ -1152,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": _q_host_rank,
         "recrawl_priority": _q_recrawl_priority,
         "revisit_records": _q_revisit_records,
+        "corpus_summary": _q_corpus_summary,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1590,6 +1608,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "corpus_summary": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens
+            FROM (
+              SELECT lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            )
+            GROUP BY lang
         """,
         "revisit_records": f"""
             WITH base AS (

@@ -201,3 +201,30 @@ def test_segment_and_revisit_keepers_are_hash_aggs_not_windows(spark):
     plan = _plan(segment_dedup(docs))
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_lsh_band_key_storage_prunes_partitions(spark, tmp_path):
+    """The ANN scale path: embeddings stored partitionBy(band-0 key)
+    let the lsh probe skip every non-matching partition at the scan —
+    PartitionFilters visible in the plan, so a 2^bits-way layout cuts
+    the probe I/O by ~2^bits at corpus scale."""
+    from warctools_spark.operators.dedup import hyperplane_band_keys
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(50)
+        .withColumn(
+            "band0",
+            F.element_at(
+                hyperplane_band_keys("embedding", 1, 4, 64), 1
+            )["band_key"],
+        )
+    )
+    path = str(tmp_path / "emb_by_band")
+    emb.write.partitionBy("band0").mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    key = stored.limit(1).collect()[0]["band0"]
+    plan = _plan(stored.where(F.col("band0") == key))
+    assert "PartitionFilters" in plan and "band0" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
