@@ -165,3 +165,53 @@ def test_robots_gate_on_stream(spark, tmp_path):
     rows = spark.sql("SELECT * FROM robots_stream_test").collect()
     assert rows
     assert all(r["host"] != "hot.example.com" for r in rows)
+
+
+def test_change_rate_tracker_across_batches(spark, tmp_path):
+    """Streaming freshness scheduler: state (count/first/last) must
+    accumulate across micro-batches, and the final next_due must equal
+    the batch recrawl formula over ALL events, not just the last
+    batch's."""
+    import pandas as pd
+
+    from warctools_spark.streaming.stateful import track_change_rate
+
+    d = tmp_path / "changes"
+    d.mkdir()
+    # batch 1: entity a at t=0h,2h ; entity b at t=0h
+    pd.DataFrame(
+        {"entity": ["a", "a", "b"], "ts_us": [0, 7_200_000_000, 0]}
+    ).to_parquet(d / "b1.parquet")
+    # batch 2: entity a at t=6h -> interval becomes (6h-0)/2 = 3h
+    pd.DataFrame(
+        {"entity": ["a"], "ts_us": [21_600_000_000]}
+    ).to_parquet(d / "b2.parquet")
+
+    stream = (
+        spark.readStream.schema("entity string, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = track_change_rate(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("change_rate_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(q.recentProgress) > 1  # really multiple micro-batches
+
+    rows = spark.sql(
+        "SELECT * FROM change_rate_test ORDER BY entity, n_changes"
+    ).collect()
+    final_a = [r for r in rows if r["entity"] == "a"][-1]
+    # 3 events across 2 batches: interval (21.6e9-0)/2 = 10.8e9? no:
+    # (last-first)/(n-1) = 21_600_000_000/2 = 10_800_000_000
+    assert final_a["n_changes"] == 3
+    assert final_a["next_due_us"] == 21_600_000_000 + 10_800_000_000
+    final_b = [r for r in rows if r["entity"] == "b"][-1]
+    assert final_b["n_changes"] == 1
+    assert final_b["next_due_us"] == 3_600_000_000  # 0 + default 1h

@@ -159,3 +159,67 @@ def budgeted_schedule_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+CHANGE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("n_changes", T.IntegerType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("next_due_us", T.LongType()),
+    ]
+)
+
+CHANGE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.IntegerType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def track_change_rate(events: DataFrame, default_interval_us: int = 3600 * 1_000_000) -> DataFrame:
+    """Streaming twin of the batch recrawl_priority query: per entity,
+    accumulate (count, first, last) of observed change events ACROSS
+    micro-batches via GroupState and emit the updated next-due time
+    each time the entity changes — the freshness scheduler a live
+    crawler actually runs. events(entity, ts_us)."""
+
+    def tracker(key, pdfs, state: GroupState):
+        (entity,) = key
+        if state.exists:
+            n, first_us, last_us = state.get
+        else:
+            n, first_us, last_us = 0, None, None
+        for pdf in pdfs:
+            for ts in pdf["ts_us"]:
+                ts = int(ts)
+                n += 1
+                first_us = ts if first_us is None else min(first_us, ts)
+                last_us = ts if last_us is None else max(last_us, ts)
+        state.update((n, first_us, last_us))
+        if n > 1:
+            interval = (last_us - first_us) // (n - 1)
+        else:
+            interval = default_interval_us
+        yield pd.DataFrame(
+            [
+                {
+                    "entity": entity,
+                    "n_changes": n,
+                    "first_us": first_us,
+                    "last_us": last_us,
+                    "next_due_us": last_us + interval,
+                }
+            ]
+        )
+
+    return events.groupBy("entity").applyInPandasWithState(
+        tracker,
+        outputStructType=CHANGE_OUTPUT_SCHEMA,
+        stateStructType=CHANGE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
