@@ -694,6 +694,20 @@ def _q_link_rank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_main_content(spark, sf_dir):
+    """Boilerplate removal over decoded pages: chrome blocks dropped,
+    tags stripped, entities unescaped, whitespace collapsed — the
+    html-to-training-text cleanup, replayed by the oracle on the
+    reconstructed document."""
+    from warctools_spark.functions.udfs import udf_extract_text
+    from warctools_spark.operators.text_analysis import strip_boilerplate
+
+    pages = _pages(spark, sf_dir)
+    return pages.select(
+        "url", strip_boilerplate(udf_extract_text("html")).alias("main_text")
+    )
+
+
 def _q_corpus_summary(spark, sf_dir):
     """Per-language corpus audit: doc counts, token totals, exact
     p50/p90 token-length percentiles (linear interpolation — matches
@@ -1170,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": _q_recrawl_priority,
         "revisit_records": _q_revisit_records,
         "corpus_summary": _q_corpus_summary,
+        "main_content": _q_main_content,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1608,6 +1623,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "main_content": f"""
+            SELECT {_URL.format(id="d.doc_id")} AS url,
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(
+                                   regexp_replace(
+                                     regexp_replace({html_doc},
+                                       '(?si)<script[^>]*>.*?</script>',
+                                       ' ', 'g'),
+                                     '(?si)<style[^>]*>.*?</style>',
+                                     ' ', 'g'),
+                                   '(?si)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                                 '(?si)<header[^>]*>.*?</header>',
+                                 ' ', 'g'),
+                               '(?si)<footer[^>]*>.*?</footer>',
+                               ' ', 'g'),
+                             '(?si)<aside[^>]*>.*?</aside>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                         '<[^>]*>', ' ', 'g'),
+                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+                     '\\s+', ' ', 'g')) AS main_text
+            FROM documents d
+            CROSS JOIN (SELECT count(*) AS n FROM documents) nn
         """,
         "corpus_summary": """
             SELECT lang,

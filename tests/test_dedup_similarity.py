@@ -579,3 +579,17 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
               for r in S.lsh_topk(emb, q, k=5, dims=dims).collect()}
     assert rows[0][0] in approx  # the query vector itself is recalled
     assert len(set(exact) & set(approx)) >= 4
+
+
+def test_strip_boilerplate_drops_chrome_keeps_content(spark):
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style>"
+        "<script>var x=1;</script></head><body><nav>menu a b</nav>"
+        "<p>real &amp; useful &lt;content&gt;</p>"
+        "<!-- hidden comment --><footer>c 2020</footer></body></html>"
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    row = docs.select(
+        TA.strip_boilerplate(F.col("text")).alias("t")
+    ).collect()[0]
+    assert row["t"] == 'T real & useful <content>'

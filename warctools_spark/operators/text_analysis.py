@@ -273,3 +273,29 @@ def gopher_gate(
         id_col,
         reasons.alias("drop_reasons"),
     ).withColumn("keep", F.col("drop_reasons") == "")
+
+
+def strip_boilerplate(col: Column) -> Column:
+    """Boilerplate removal (readability-lite): drop script/style/
+    template-chrome blocks, strip tags, unescape the common entities,
+    collapse whitespace — the standard pre-training HTML-to-text
+    cleanup. Pure regexp_replace chain ((?s) dotall + non-greedy work
+    identically in Java regex and RE2, so the oracle replays it
+    character-for-character); no Python in the path."""
+    out = col
+    for tag in ("script", "style", "nav", "header", "footer", "aside"):
+        out = F.regexp_replace(
+            out, f"(?si)<{tag}[^>]*>.*?</{tag}>", " "
+        )
+    out = F.regexp_replace(out, "(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, "<[^>]*>", " ")
+    for ent, rep in (
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
