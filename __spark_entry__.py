@@ -694,6 +694,39 @@ def _q_link_rank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_url_traps(spark, sf_dir):
+    """Crawl-trap detection: four synthesized URL shapes per doc
+    (clean / session-id / repeated-segment loop / deep path); the
+    oracle replays the expected feature vector per shape, so the
+    parse_url+split+filter pipeline is checked against an independent
+    model."""
+    from warctools_spark.operators.frontier import url_trap_features
+    from warctools_spark.sources.pages import host_expr
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    base = F.concat(F.lit("http://"), host_expr(d))
+    n = d.cast("string")
+    url = (
+        F.when(d % 4 == 0, F.concat(base, F.lit("/doc/"), n, F.lit(".html")))
+        .when(
+            d % 4 == 1,
+            F.concat(
+                base, F.lit("/doc/"), n, F.lit(".html?sess="), n,
+                F.lit("&page=1"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(base, F.lit("/cal/a/cal/a/cal/a/"), n, F.lit(".html")),
+        )
+        .otherwise(
+            F.concat(base, F.lit("/a/b/c/d/e/f/g/h/"), n, F.lit(".html"))
+        )
+    )
+    return url_trap_features(docs.select(url.alias("url")))
+
+
 def _q_main_content(spark, sf_dir):
     """Boilerplate removal over decoded pages: chrome blocks dropped,
     tags stripped, entities unescaped, whitespace collapsed — the
@@ -1185,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_records": _q_revisit_records,
         "corpus_summary": _q_corpus_summary,
         "main_content": _q_main_content,
+        "url_traps": _q_url_traps,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1623,6 +1657,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "url_traps": f"""
+            WITH h AS (
+              SELECT doc_id, 'http://' || {_HOST.format(id="doc_id")} AS base
+              FROM documents
+            )
+            SELECT CASE doc_id % 4
+                     WHEN 0 THEN base || '/doc/' || doc_id || '.html'
+                     WHEN 1 THEN base || '/doc/' || doc_id || '.html?sess='
+                                 || doc_id || '&page=1'
+                     WHEN 2 THEN base || '/cal/a/cal/a/cal/a/' || doc_id
+                                 || '.html'
+                     ELSE base || '/a/b/c/d/e/f/g/h/' || doc_id || '.html'
+                   END AS url,
+                   CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 2
+                        WHEN 2 THEN 7 ELSE 9 END AS path_depth,
+                   CASE doc_id % 4 WHEN 1 THEN 2 ELSE 0 END
+                       AS n_query_params,
+                   CASE doc_id % 4 WHEN 2 THEN round(1 - 3/7.0, 6)
+                        ELSE 0.0 END AS dup_segment_frac,
+                   (doc_id % 4 = 1) AS has_session_id,
+                   CASE doc_id % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 5.0
+                        WHEN 2 THEN round(round(1 - 3/7.0, 6) * 10 + 2, 6)
+                        ELSE 6.0 END AS trap_score
+            FROM h
         """,
         "main_content": f"""
             SELECT {_URL.format(id="d.doc_id")} AS url,

@@ -315,3 +315,49 @@ def discover_sitemap_seeds(pages: DataFrame) -> DataFrame:
         .alias("body"),
     ).where(F.col("body").isNotNull())
     return sitemap_seeds(bodies)
+
+
+def url_trap_features(
+    urls: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Crawl-trap signals per URL — the classic frontier defenses
+    against calendar pages, session-id explosions and recursive path
+    loops (each one an infinite URL space a polite crawler must not
+    enter). All JVM expressions over parse_url/split:
+
+      path_depth          segments in the path
+      n_query_params      &-separated params in the query string
+      dup_segment_frac    1 - distinct/total path segments (a
+                          repeated segment run is the loop signature)
+      has_session_id      sess/sid/phpsessid/jsessionid param present
+      trap_score          weighted sum; schedule sorts ascending
+    """
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    query = F.parse_url(F.col(url_col), F.lit("QUERY"))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    n_seg = F.size(segs)
+    n_dist = F.size(F.array_distinct(segs))
+    dup_frac = F.when(
+        n_seg > 0, F.round(1 - n_dist / n_seg, 6)
+    ).otherwise(F.lit(0.0))
+    n_params = F.when(
+        query.isNull() | (query == ""), F.lit(0)
+    ).otherwise(F.size(F.split(query, "&")))
+    has_sess = F.coalesce(
+        F.lower(query).rlike("(^|&)(sess|sid|phpsessid|jsessionid)="),
+        F.lit(False),
+    )
+    score = (
+        F.greatest(n_seg - 6, F.lit(0)) * 2
+        + dup_frac * 10
+        + F.greatest(n_params - 3, F.lit(0)) * 2
+        + F.when(has_sess, 5).otherwise(0)
+    )
+    return urls.select(
+        F.col(url_col),
+        n_seg.alias("path_depth"),
+        n_params.alias("n_query_params"),
+        dup_frac.alias("dup_segment_frac"),
+        has_sess.alias("has_session_id"),
+        F.round(score, 6).alias("trap_score"),
+    )
