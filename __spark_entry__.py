@@ -694,6 +694,27 @@ def _q_link_rank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME sniffing: four synthesized blob shapes per doc
+    (png / jpeg / IMG1 / unknown); the oracle replays the expected
+    label per shape."""
+    from warctools_spark.operators.multimodal import sniff_mime
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    payload_hex = F.md5(d.cast("string"))
+    blob = F.unhex(
+        F.concat(
+            F.when(d % 4 == 0, F.lit("89504e470d0a1a0a"))
+            .when(d % 4 == 1, F.lit("ffd8ff"))
+            .when(d % 4 == 2, F.lit("494d4731"))  # 'IMG1'
+            .otherwise(F.lit("68656c6c6f")),  # 'hello'
+            payload_hex,
+        )
+    )
+    return docs.select("doc_id", sniff_mime(blob).alias("mime"))
+
+
 def _q_url_traps(spark, sf_dir):
     """Crawl-trap detection: four synthesized URL shapes per doc
     (clean / session-id / repeated-segment loop / deep path); the
@@ -1219,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_summary": _q_corpus_summary,
         "main_content": _q_main_content,
         "url_traps": _q_url_traps,
+        "mime_sniff": _q_mime_sniff,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1657,6 +1679,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "mime_sniff": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'image/jpeg'
+                     WHEN 2 THEN 'image/x-img1'
+                     ELSE 'application/octet-stream'
+                   END AS mime
+            FROM documents
         """,
         "url_traps": f"""
             WITH h AS (

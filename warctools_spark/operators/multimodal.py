@@ -312,3 +312,32 @@ def audio_features(media: DataFrame, blob_col: str = "blob") -> DataFrame:
         "media_id long, sample_rate int, n_samples int, duration_s double, "
         "rms double, peak double, zcr double",
     )
+
+
+# magic-byte table for payload MIME sniffing (public file signatures)
+_MAGIC = [
+    ("image/png", b"\x89PNG\r\n\x1a\n"),
+    ("image/jpeg", b"\xff\xd8\xff"),
+    ("image/gif", b"GIF8"),
+    ("application/pdf", b"%PDF"),
+    ("application/gzip", b"\x1f\x8b"),
+    ("image/x-img1", b"IMG1"),
+    ("audio/x-aud1", b"AUD1"),
+]
+
+
+def sniff_mime(blob_col) -> "F.Column":
+    """Content sniffing by magic bytes — the trust-the-bytes fallback
+    when HTTP Content-Type lies (it does, at web scale). Pure JVM:
+    one startswith chain over the binary column; 'application/
+    octet-stream' when nothing matches."""
+    from pyspark.sql import functions as F
+
+    col = F.col(blob_col) if isinstance(blob_col, str) else blob_col
+    out = F.lit("application/octet-stream")
+    for mime, magic in reversed(_MAGIC):
+        hexs = magic.hex()
+        out = F.when(
+            F.startswith(F.hex(col), F.lit(hexs.upper())), F.lit(mime)
+        ).otherwise(out)
+    return out
