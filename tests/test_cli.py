@@ -141,3 +141,18 @@ def test_cli_warcwet(warc_file, tmp_path):
     assert b"Content-Type: text/plain" in data
     # payload is the extracted text of the response body
     assert b'<html><a href="http://x.example/next.html">n</a></html>' in data
+
+
+def test_cli_warcwet_gzip(warc_file, tmp_path):
+    out = str(tmp_path / "out.wet.warc.gz")
+    r = subprocess.run(
+        [sys.executable, "-m", "warctools_spark.cli", "--cpus", "2",
+         "warcwet", "-Z", "-o", out, warc_file],
+        capture_output=True, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = open(out, "rb").read()
+    assert data[:2] == b"\x1f\x8b"  # per-record gzip members
+    body = gzip.decompress(data)
+    assert body.startswith(b"WARC/1.0\r\n")
+    assert b"WARC-Type: conversion" in body

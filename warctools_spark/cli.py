@@ -14,7 +14,7 @@ tools (1:1 with the reference commands):
   warcextract <warc> <offset>             one record's payload to stdout
   warcpayload <warc:offset[,len]>         one record's http body to stdout
   warcunpack  [-o DIR] <warcs...>         unpack log / payload files
-  warcwet     [-o OUT] <warcs...>         WET conversion records (text)
+  warcwet     [-Z] [-o OUT] <warcs...>    WET conversion records (text)
   corpus      --docs P -o DIR             training-corpus pipeline
 
 Outputs are driven through the same DataFrame operators the engine
@@ -183,7 +183,7 @@ def cmd_warcwet(args):
 
     spark = _spark(args.cpus)
     pages = records_to_pages(_records(spark, args.inputs))
-    wet = wet_conversion(pages)
+    wet = wet_conversion(pages, gzip_output=bool(args.gzip))
     sink = open(args.output, "wb") if args.output else sys.stdout.buffer
     for r in wet.orderBy("url").toLocalIterator():
         sink.write(bytes(r["record_bytes"]))
@@ -406,6 +406,7 @@ def main(argv=None):
     s.set_defaults(fn=cmd_warcpayload)
 
     s = sub.add_parser("warcwet")
+    s.add_argument("-Z", "--gzip", action="store_true")
     s.add_argument("-o", "--output", default=None)
     s.add_argument("inputs", nargs="+")
     s.set_defaults(fn=cmd_warcwet)

@@ -186,7 +186,7 @@ def records_to_pages(records: DataFrame) -> DataFrame:
     )
 
 
-def wet_conversion(pages: DataFrame) -> DataFrame:
+def wet_conversion(pages: DataFrame, gzip_output: bool = False) -> DataFrame:
     """Derive WET-style `conversion` records from response pages —
     the Common-Crawl WET sidecar: extracted plain text wrapped in a
     WARC conversion record whose WARC-Refers-To points back at the
@@ -231,8 +231,9 @@ def wet_conversion(pages: DataFrame) -> DataFrame:
                     ],
                     b"text/plain",
                     text,
+                    gzip_record=gzip_output,
                 )
-                (row,) = parse_archive(rec, fmt="warc")
+                (row,) = parse_archive(rec, fmt="warc", gzip_mode="auto")
                 out.append(
                     {
                         "url": (row.url or b"").decode("latin-1"),
