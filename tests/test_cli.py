@@ -156,3 +156,20 @@ def test_cli_warcwet_gzip(warc_file, tmp_path):
     body = gzip.decompress(data)
     assert body.startswith(b"WARC/1.0\r\n")
     assert b"WARC-Type: conversion" in body
+
+
+def test_cli_warcindex_cdx(warc_file):
+    r = subprocess.run(
+        [sys.executable, "-m", "warctools_spark.cli", "--cpus", "2",
+         "warcindex", "--cdx", warc_file],
+        capture_output=True, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.decode().rstrip().splitlines()
+    assert lines[0] == " CDX N b a m s k S"
+    fields = lines[1].split(" ")
+    assert fields[0] == "example,a)/page.html"   # SURT urlkey
+    assert fields[1] == "20131115000000"          # ts14
+    assert fields[2] == "http://a.example/page.html"
+    assert fields[4] == "200"
+    assert len(fields[5]) == 64                   # sha256 hex digest

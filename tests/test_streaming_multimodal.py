@@ -152,3 +152,32 @@ def test_audio_features(spark):
         assert 0 < r["rms"] <= 1.0
         assert abs(r["peak"] - 1.0) < 1e-3  # scaled to full scale
         assert 0 <= r["zcr"] <= 1
+
+
+def test_sniff_mime_on_media_and_real_magics(spark):
+    from pyspark.sql import functions as F
+
+    from warctools_spark.operators.multimodal import sniff_mime, synthesize_media
+
+    media = synthesize_media(spark, SF_DIR).limit(10)
+    sniffed = media.select(sniff_mime("blob").alias("mime")).distinct().collect()
+    assert {r["mime"] for r in sniffed} == {"image/x-img1"}
+
+    blobs = spark.createDataFrame(
+        [
+            (1, bytearray(b"\x89PNG\r\n\x1a\n....")),
+            (2, bytearray(b"\xff\xd8\xff\xe0JFIF")),
+            (3, bytearray(b"%PDF-1.4 ...")),
+            (4, bytearray(b"AUD1\x00\x01 payload")),
+            (5, bytearray(b"just plain text")),
+        ],
+        "i long, blob binary",
+    )
+    got = {r["i"]: r["mime"] for r in blobs.select("i", sniff_mime("blob").alias("mime")).collect()}
+    assert got == {
+        1: "image/png",
+        2: "image/jpeg",
+        3: "application/pdf",
+        4: "audio/x-aud1",
+        5: "application/octet-stream",
+    }

@@ -3,7 +3,7 @@
     python -m warctools_spark.cli <tool> [options] <input...>
 
 tools (1:1 with the reference commands):
-  warcindex   <warcs...>                  index lines to stdout
+  warcindex   [--cdx] <warcs...>          index lines (CDX w/ --cdx)
   warcfilter  [-U|-T|-C|-H|-D] [-i] <pattern> <warcs...>
   warcvalid   <warcs...>                  exit 0 iff all records valid
   warcdump    <warcs...>                  human-readable record dump
@@ -49,6 +49,30 @@ def cmd_warcindex(args):
 
     spark = _spark(args.cpus)
     out = sys.stdout
+    if getattr(args, "cdx", False):
+        from warctools_spark.operators.archive_ops import (
+            cdx_index,
+            records_to_pages,
+        )
+
+        out.write(" CDX N b a m s k S\n")
+        rows = cdx_index(
+            records_to_pages(_records(spark, args.inputs))
+        ).orderBy("urlkey", "ts14")
+        for r in rows.toLocalIterator():
+            out.write(
+                "%s %s %s %s %s %s %s\n"
+                % (
+                    r["urlkey"],
+                    r["ts14"],
+                    r["original"],
+                    r["mime"],
+                    r["status"],
+                    r["digest"],
+                    r["length"],
+                )
+            )
+        return 0
     out.write(
         "#WARC filename offset warc-type warc-subject-uri warc-record-id "
         "content-type content-length\n"
@@ -368,6 +392,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="tool", required=True)
 
     s = sub.add_parser("warcindex")
+    s.add_argument("--cdx", action="store_true")
     s.add_argument("inputs", nargs="+")
     s.set_defaults(fn=cmd_warcindex)
 
