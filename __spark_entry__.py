@@ -694,6 +694,22 @@ def _q_link_rank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_bigram_frequencies(spark, sf_dir):
+    """Global top-100 word bigrams (tokenizer merge candidates)."""
+    from warctools_spark.operators.text_analysis import ngram_frequencies
+
+    return ngram_frequencies(_docs(spark, sf_dir), n=2, top_k=100)
+
+
+def _q_skew_report(spark, sf_dir):
+    """Shuffle-skew pre-flight: hottest hosts of the candidate
+    frontier with share + over-uniform ratio."""
+    from warctools_spark.operators.sampling import skew_report
+
+    cand = _candidates(spark, sf_dir)
+    return skew_report(cand, "host", top_k=5)
+
+
 def _q_mime_sniff(spark, sf_dir):
     """Magic-byte MIME sniffing: four synthesized blob shapes per doc
     (png / jpeg / IMG1 / unknown); the oracle replays the expected
@@ -1241,6 +1257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": _q_main_content,
         "url_traps": _q_url_traps,
         "mime_sniff": _q_mime_sniff,
+        "bigram_frequencies": _q_bigram_frequencies,
+        "skew_report": _q_skew_report,
         "sitemap_seeds": _q_sitemap_seeds,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
@@ -1679,6 +1697,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ntot nt ON d.doc_id = nt.doc_id
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "bigram_frequencies": """
+            SELECT gram, count(*) AS n FROM (
+              SELECT unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS gram
+              FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM documents)
+            ) WHERE gram <> ''
+            GROUP BY gram ORDER BY n DESC, gram LIMIT 100
+        """,
+        "skew_report": _CAND_CTE
+        + """
+            , counts AS (
+              SELECT host, count(*) AS n FROM cand GROUP BY host
+            ),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+                     count(*) AS n_keys
+              FROM counts
+            )
+            SELECT host, CAST(n AS BIGINT) AS n,
+                   round(n / total_rows, 6) AS row_share,
+                   round(n / (total_rows / n_keys), 6) AS max_over_uniform
+            FROM counts CROSS JOIN tot
+            ORDER BY n DESC, host LIMIT 5
         """,
         "mime_sniff": """
             SELECT doc_id,

@@ -593,3 +593,18 @@ def test_strip_boilerplate_drops_chrome_keeps_content(spark):
         TA.strip_boilerplate(F.col("text")).alias("t")
     ).collect()[0]
     assert row["t"] == 'T real & useful <content>'
+
+
+def test_skew_report_flags_hot_key(spark):
+    from warctools_spark.operators.sampling import skew_report
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("key")
+    )
+    top = skew_report(df, "key", top_k=3).collect()
+    assert top[0]["key"] == "hot"
+    assert top[0]["row_share"] == 0.9
+    # 101 distinct keys, uniform would be ~9.9 rows; hot has 900
+    assert top[0]["max_over_uniform"] > 80

@@ -95,3 +95,29 @@ def fixed_n_sample(
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Shuffle-skew diagnostics for a prospective groupBy/join key:
+    the top-k hottest key values with their share of all rows and the
+    ratio to a perfectly uniform spread. The pre-flight check before
+    keying a 100 TB shuffle — a max_over_uniform in the thousands
+    says salt (or use the min-over-struct agg pattern) first.
+
+    One hash agg + exact top-k; the tiny totals row is broadcast."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col(key_col)).limit(top_k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        key_col,
+        "n",
+        F.round(F.col("n") / F.col("total_rows"), 6).alias("row_share"),
+        F.round(
+            F.col("n") / (F.col("total_rows") / F.col("n_keys")), 6
+        ).alias("max_over_uniform"),
+    )

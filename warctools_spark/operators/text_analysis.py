@@ -299,3 +299,22 @@ def strip_boilerplate(col: Column) -> Column:
     ):
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def ngram_frequencies(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Global word n-gram frequency table (vocabulary induction /
+    merge-candidate mining for tokenizer training) — same plan shape
+    as token_frequencies: explode, one map-side-combined hash agg,
+    exact top-k via TakeOrderedAndProject."""
+    grams = docs.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).where(F.col("gram") != "")
+    counts = grams.groupBy("gram").agg(F.count("*").alias("n"))
+    if top_k:
+        return counts.orderBy(F.col("n").desc(), F.col("gram")).limit(top_k)
+    return counts
