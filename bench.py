@@ -174,38 +174,41 @@ def main():
         "tpch_q1": q_tpch_q1,
         "embedding_topk": q_embedding_topk,
     }
-    # best-of-3 per query: the first execution pays JVM/codegen warmup
-    # (observed 2-5x inflation, high variance on a shared VM); the min
-    # is the steady-state engine throughput a long-running cluster job
-    # amortizes to. Methodology noted in BENCH/BASELINE.md.
+    # BOTH series are recorded so cross-round comparisons never mix
+    # methodologies: `queries_cold` is each query's FIRST execution
+    # (pays JVM/codegen warmup — observed 2-5x inflation, high
+    # variance on a shared VM); `queries` (the headline, feeding
+    # `value`) is best-of-3 — the steady-state engine throughput a
+    # long-running cluster job amortizes to.
+    def timed(fn, *args, runs=3):
+        best = cold = None
+        res = None
+        for i in range(runs):
+            t0 = time.time()
+            res = fn(spark, *args)
+            dt = time.time() - t0
+            if i == 0:
+                cold = dt
+            best = dt if best is None else min(best, dt)
+        return res, round(cold, 3), round(best, 3)
+
     timings = {}
+    timings_cold = {}
     results = {}
     for name, fn in queries.items():
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            results[name] = fn(spark, pages_path)
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        results[name], timings_cold[name], timings[name] = timed(
+            fn, pages_path
+        )
 
     # extra measurements: recorded but NOT in the headline total, so
     # the total stays comparable across rounds/BASELINE.md
     extra = {}
-    best = None
-    for _ in range(3):
-        t0 = time.time()
-        results["bloom_bucketed"] = q_bloom_bucketed(spark, pages_path)
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    extra["bloom_bucketed"] = round(best, 3)
-    best = None
-    for _ in range(3):
-        t0 = time.time()
-        results["segment_dedup"] = q_segment_dedup(spark, pages_path)
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    extra["segment_dedup"] = round(best, 3)
+    extra_cold = {}
+    for name, fn in (
+        ("bloom_bucketed", q_bloom_bucketed),
+        ("segment_dedup", q_segment_dedup),
+    ):
+        results[name], extra_cold[name], extra[name] = timed(fn, pages_path)
 
     from warctools_spark.sources.pages import N_LINKS
 
@@ -217,7 +220,10 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
+        "total_cold": round(sum(timings_cold.values()), 3),
         "extra_queries": extra,
+        "extra_queries_cold": extra_cold,
         "sf": SF_DIR,
         "pages": n_pages,
         "candidate_urls": n_links,

@@ -262,3 +262,76 @@ def test_warclinks_output_parity(spark, tmp_path):
     pages = records_to_pages(read_warc(spark, str(f)))
     links = [r["link"] for r in harvest_links(pages).collect()]
     assert links == expected
+
+
+LATIN1_BODY = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: 17\r\n"
+    b"\r\n<p>caf\xe9 body</p>"
+)
+LATIN1_RECORDS = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-0000000000ba>\r\n"
+    b"WARC-Date: 2013-11-15T00:00:02Z\r\n"
+    b"WARC-Target-URI: http://cli.example/latin1\r\n"
+    b"Content-Type: application/http;msgtype=response\r\n"
+    b"Content-Length: " + str(len(LATIN1_BODY)).encode() + b"\r\n\r\n"
+    + LATIN1_BODY + b"\r\n\r\n"
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-0000000000bb>\r\n"
+    b"WARC-Date: 2013-11-15T00:00:03Z\r\n"
+    b"WARC-Target-URI: http://cli.example/ascii\r\n"
+    b"Content-Type: application/http;msgtype=response\r\n"
+    b"Content-Length: " + str(len(HTTP)).encode() + b"\r\n\r\n" + HTTP + b"\r\n\r\n"
+)
+
+
+def _reference_filter_any_urls(path: str, pattern: bytes) -> set:
+    """The warcfilter any-header-or-body mode (warcfilter.py:104-113):
+    a bytes regex over every header value, then the raw content."""
+    import re as _re
+
+    from hanzo import warctools
+
+    pat = _re.compile(pattern)
+    matched = set()
+    fh = warctools.WarcRecord.open_archive(path, gzip="auto")
+    try:
+        for record in fh:
+            found = any(pat.search(v) for _, v in record.headers)
+            if not found:
+                _, content = record.content
+                found = bool(pat.search(content))
+            if found:
+                matched.add(record.url)
+    finally:
+        fh.close()
+    return matched
+
+
+def test_warcfilter_any_latin1_body_parity(spark, tmp_path):
+    """Byte-parity of the any-mode body regex on a NON-UTF-8 payload:
+    the reference regex runs on raw bytes, ours on the latin-1 decode
+    (byte i <-> codepoint i), so matched URL sets must be identical —
+    including that a UTF-8-encoded pattern for the same text does NOT
+    match the latin-1 body."""
+    from warctools_spark.operators.archive_ops import warc_filter
+    from warctools_spark.sources.warc import read_warc
+
+    p = tmp_path / "latin1.warc"
+    p.write_bytes(LATIN1_RECORDS)
+    recs = read_warc(spark, str(p)).cache()
+
+    for pat_bytes in (b"caf\xe9", b"caf\xc3\xa9", b"01234"):
+        ref = _reference_filter_any_urls(str(p), pat_bytes)
+        pat_str = pat_bytes.decode("latin-1")
+        ours = {
+            r["url"].encode("ascii")
+            for r in warc_filter(recs, pat_str, mode="any").collect()
+        }
+        assert ours == ref, (pat_bytes, ours, ref)
+    # sanity: the latin-1 pattern really selects only the latin-1 page
+    assert _reference_filter_any_urls(str(p), b"caf\xe9") == {
+        b"http://cli.example/latin1"
+    }

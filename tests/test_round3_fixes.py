@@ -1,0 +1,409 @@
+"""Round-3 hardening tests: anti-join right side joined as-is (no
+distinct), probe parallelism decoupled from n_buckets, HTTP/0.9
+fallback wired into the engine dataflow, latin-1-only body filtering,
+cuckoo inserts into empty buckets, embedding dims validation,
+dup_clusters convergence contract, anchor-pair alignment, and the
+pack_sequences single-materialization plan."""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ---------------------------------------------------------------
+# anti-join right side: no distinct, and still zero-exchange when
+# both sides come from the catalog's bucketed tables
+# ---------------------------------------------------------------
+
+
+def test_dedup_against_seen_no_distinct_agg(spark):
+    from warctools_spark.operators.frontier import dedup_against_seen
+
+    cand = spark.range(100).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1"), "id"
+    )
+    seen = spark.range(0, 100, 2).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1")
+    )
+    # duplicate seen rows must not change the anti-join result
+    out = dedup_against_seen(cand, seen.unionAll(seen))
+    assert out.count() == 50
+    # and the plan must NOT pay a hash-aggregate (distinct) for it
+    assert "HashAggregate" not in _plan(out)
+
+
+def test_dedup_against_seen_bucketed_zero_exchange(spark, tmp_path):
+    """dedup_against_seen itself (not a hand-built join) over the
+    catalog's bucketed tables: storage-partitioned anti-join with no
+    Exchange and no distinct aggregate."""
+    from warctools_spark.operators.frontier import dedup_against_seen
+    from warctools_spark.plans.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"), n_buckets=8)
+    cand = spark.range(5000).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1"), "id"
+    )
+    seen = spark.range(0, 5000, 2).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1")
+    )
+    t1 = cat.write_bucketed_table(spark, cand, "queue_r3", 0)
+    t2 = cat.write_bucketed_table(spark, seen, "seen_r3", 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = dedup_against_seen(spark.table(t1), spark.table(t2))
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert "HashAggregate" not in plan
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert j.count() == 2500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+# ---------------------------------------------------------------
+# probe parallelism decoupled from n_buckets
+# ---------------------------------------------------------------
+
+
+def test_bloom_probe_salted_splits_buckets(spark):
+    """With probe_salts=4 one bucket's candidates occupy >1 cogroup
+    key (so >1 task at scale) and the probe results are identical to
+    the unsalted run."""
+    from warctools_spark.operators.seen import build_bloom, probe_bucketed
+
+    seen = spark.range(0, 400, 2).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1")
+    )
+    cand = spark.range(400).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1"), "id"
+    )
+    bloom = build_bloom(seen, n_buckets=2).cache()
+    plain = probe_bucketed(cand, bloom, 2, probe_salts=1)
+    salted = probe_bucketed(cand, bloom, 2, probe_salts=4)
+    p = {r["url_sha1"]: r["maybe_seen"] for r in plain.collect()}
+    s = {r["url_sha1"]: r["maybe_seen"] for r in salted.collect()}
+    assert p == s and len(p) == 400
+    # every seen key probes positive (no false negatives ever)
+    seen_keys = {r["url_sha1"] for r in seen.collect()}
+    assert all(s[k] for k in seen_keys)
+    # the salted key space really splits each bucket's candidates
+    keys = cand.select(
+        F.pmod(F.xxhash64("url_sha1"), F.lit(2)).alias("b"),
+        F.pmod(F.xxhash64("url_sha1", F.lit(0x5A17)), F.lit(4)).alias("s"),
+    )
+    per_bucket = keys.groupBy("b").agg(
+        F.countDistinct("s").alias("n_salts")
+    ).collect()
+    assert all(r["n_salts"] > 1 for r in per_bucket)
+
+
+def test_cuckoo_probe_salted_matches_unsalted(spark):
+    from warctools_spark.operators.cuckoo import (
+        build_cuckoo,
+        probe_cuckoo_bucketed,
+    )
+
+    seen = spark.range(0, 300, 3).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1")
+    )
+    cand = spark.range(300).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1"), "id"
+    )
+    ck = build_cuckoo(seen, n_buckets=2).cache()
+    plain = probe_cuckoo_bucketed(cand, ck, 2, probe_salts=1)
+    salted = probe_cuckoo_bucketed(cand, ck, 2, probe_salts=5)
+    p = {r["url_sha1"]: r["maybe_seen"] for r in plain.collect()}
+    s = {r["url_sha1"]: r["maybe_seen"] for r in salted.collect()}
+    assert p == s and len(p) == 300
+
+
+def test_two_tier_dedup_exact_with_default_salts(spark):
+    """two_tier_dedup (auto probe_salts from defaultParallelism) still
+    equals the exact anti-join."""
+    from warctools_spark.operators.seen import two_tier_dedup
+
+    cand = spark.range(500).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1"), "id"
+    )
+    seen = spark.range(0, 500, 2).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1")
+    )
+    out = two_tier_dedup(spark, cand, seen, n_buckets=4)
+    exact = cand.join(seen, "url_sha1", "left_anti")
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in exact.collect()
+    )
+
+
+# ---------------------------------------------------------------
+# cuckoo: inserts into a bucket with no existing filter row
+# ---------------------------------------------------------------
+
+
+def test_cuckoo_insert_into_empty_bucket(spark):
+    """build_cuckoo emits rows only for buckets that held keys; an
+    insert whose bucket is absent must synthesize a filter row instead
+    of silently dropping the keys (which would leak duplicates through
+    a definitive-negative probe)."""
+    from warctools_spark.operators.cuckoo import (
+        build_cuckoo,
+        insert_into_cuckoo,
+        probe_cuckoo_bucketed,
+    )
+
+    n_buckets = 8
+    base = spark.range(1).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1")
+    )
+    ck = build_cuckoo(base, n_buckets=n_buckets).cache()
+    base_buckets = {r["bucket"] for r in ck.select("bucket").collect()}
+    assert len(base_buckets) == 1  # most buckets are empty
+
+    adds = spark.range(1, 200).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1")
+    )
+    # sanity: the additions really do hit buckets absent from the base
+    add_buckets = {
+        r["b"]
+        for r in adds.select(
+            F.pmod(F.xxhash64("url_sha1"), F.lit(n_buckets)).alias("b")
+        ).collect()
+    }
+    assert add_buckets - base_buckets
+
+    updated = insert_into_cuckoo(ck, adds, n_buckets).cache()
+    assert {r["bucket"] for r in updated.select("bucket").collect()} == (
+        base_buckets | add_buckets
+    )
+    # every inserted key must now probe maybe_seen=True (no false
+    # negatives = no duplicate leaks through tier 2)
+    probed = probe_cuckoo_bucketed(adds, updated, n_buckets)
+    assert all(r["maybe_seen"] for r in probed.collect())
+
+
+# ---------------------------------------------------------------
+# HTTP/0.9 fallback in the engine dataflow
+# ---------------------------------------------------------------
+
+HTTP09_BODY = b"<html><p>ancient pre-1.0 response</p></html>"
+
+
+def _records_df(spark, tmp_path_factory_dir):
+    from warctools_spark.sources.warc import read_warc
+
+    content = HTTP09_BODY
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-0000000000aa>\r\n"
+        b"WARC-Date: 2013-11-15T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://old.example/\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+        b"Content-Length: " + str(len(content)).encode() + b"\r\n\r\n"
+        + content + b"\r\n\r\n"
+    )
+    p = tmp_path_factory_dir / "http09.warc"
+    p.write_bytes(rec)
+    return read_warc(spark, str(p))
+
+
+def test_http09_payload_decodes_with_fallback(spark, tmp_path):
+    """An HTTP/0.9 payload (no status line) surfaces as an error row
+    by default but decodes to (200, whole-payload body) with
+    http09_fallback=True — kernels/http_decode.py:527 wired into the
+    UDF layer (messaging.py:696-738 semantics)."""
+    from warctools_spark.functions.udfs import make_udf_decode_http
+
+    recs = _records_df(spark, tmp_path).cache()
+
+    strict = recs.withColumn(
+        "http", make_udf_decode_http()(F.col("content"))
+    ).select("http.*").collect()[0]
+    assert not strict["complete"]
+
+    fb = recs.withColumn(
+        "http", make_udf_decode_http(http09_fallback=True)(F.col("content"))
+    ).select("http.*").collect()[0]
+    assert fb["complete"]
+    assert fb["code"] == 200
+    assert bytes(fb["body"]) == HTTP09_BODY
+    assert not (fb["errors"] or [])
+
+
+def test_http09_warc2warc_operator(spark, tmp_path):
+    from warctools_spark.operators.archive_ops import warc2warc_decode
+
+    recs = _records_df(spark, tmp_path).cache()
+    out = warc2warc_decode(recs, http09_fallback=True).collect()[0]
+    # clean decode: the 0.9 message IS the raw payload, so the body
+    # replacement is the identity and the record re-serializes
+    assert bytes(out["out_content"]) == HTTP09_BODY
+    assert out["record_bytes"]
+
+
+# ---------------------------------------------------------------
+# latin-1-only body matching (reference regex runs on raw bytes)
+# ---------------------------------------------------------------
+
+
+def test_warc_filter_any_latin1_only(spark):
+    """A pattern matching the UTF-8 *misdecode* of non-UTF-8 bytes
+    must NOT hit: the reference regex runs on raw bytes = latin-1."""
+    from warctools_spark.operators.archive_ops import warc_filter
+
+    payload = b"caf\xe9 content"  # latin-1 e-acute; invalid UTF-8
+    df = spark.createDataFrame(
+        [("http://x/", "response", "text/html", [], payload)],
+        "url string, record_type string, content_type string, "
+        "headers array<struct<name:string,value:string>>, content binary",
+    )
+    assert warc_filter(df, "café", mode="any").count() == 1
+    # the UTF-8 cast would have produced U+FFFD here; it must not match
+    assert warc_filter(df, "�", mode="any").count() == 0
+    # invert flips it (warcfilter.py:82-116)
+    assert warc_filter(df, "café", mode="any", invert=True).count() == 0
+
+
+# ---------------------------------------------------------------
+# embedding dims validation
+# ---------------------------------------------------------------
+
+
+def test_embedding_pairs_dims_mismatch_raises(spark):
+    from warctools_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dims=8 != embedding length 3"):
+        embedding_cosine_pairs(emb, threshold=0.9, dims=8)
+    # dims=None derives from the data and works
+    out = embedding_cosine_pairs(emb, threshold=0.99, dims=None)
+    assert out.count() > 0
+
+
+def test_lsh_topk_query_dims_mismatch_raises(spark):
+    from warctools_spark.operators.similarity import lsh_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.1]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="query_vec has 3 dims"):
+        lsh_topk(emb, [1.0, 0.5, 0.1], k=3)
+    res = lsh_topk(emb, [1.0, 1.0, 0.5, 0.1], k=3)
+    assert res.count() > 0
+
+
+# ---------------------------------------------------------------
+# dup_clusters convergence contract
+# ---------------------------------------------------------------
+
+
+def _chain(spark, n):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    verts = spark.range(n).withColumnRenamed("id", "doc_id")
+    return pairs, verts
+
+
+def test_dup_clusters_nonconverged_raises(spark):
+    from warctools_spark.operators.dedup import dup_clusters
+
+    pairs, verts = _chain(spark, 30)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, verts, max_iter=2)
+
+
+def test_dup_clusters_nonconverged_warns(spark):
+    from warctools_spark.operators.dedup import dup_clusters
+
+    pairs, verts = _chain(spark, 30)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dup_clusters(pairs, verts, max_iter=2, on_nonconverged="warn")
+        out.count()
+    assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_dup_clusters_chain_converges_with_enough_rounds(spark):
+    from warctools_spark.operators.dedup import dup_clusters
+
+    pairs, verts = _chain(spark, 17)
+    # 16-edge chain: one hop of propagation per round needs <= 16
+    # rounds; must complete without the non-convergence raise
+    out = dup_clusters(pairs, verts, max_iter=20)
+    rows = out.collect()
+    assert all(r["cluster_id"] == 0 for r in rows) and len(rows) == 17
+
+
+# ---------------------------------------------------------------
+# anchor-pair alignment (one regex, same match)
+# ---------------------------------------------------------------
+
+
+def test_anchor_pairs_nested_markup_cannot_misalign(spark):
+    from warctools_spark.operators.text_analysis import anchor_text_pairs
+
+    html = (
+        '<a href="http://x/1">a <b>nested</b></a>'
+        '<a href="http://x/2">plain two</a>'
+        '<a href="http://x/3">plain three</a>'
+    )
+    df = spark.createDataFrame([("http://src/", html)], "url string, t string")
+    rows = {
+        (r["link"], r["anchor"])
+        for r in anchor_text_pairs(df, "t").collect()
+    }
+    # the nested-markup anchor is skipped, NOT paired with a later tag
+    assert rows == {
+        ("http://x/2", "plain two"),
+        ("http://x/3", "plain three"),
+    }
+
+
+# ---------------------------------------------------------------
+# pack_sequences: the sized+windowed frame materializes once
+# ---------------------------------------------------------------
+
+
+def test_pack_sequences_reuses_cached_intermediate(spark):
+    from warctools_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = pack_sequences(docs, seq_len=512)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    # the final projection must read the persisted window result, not
+    # recompute the range partition + window a second time: the only
+    # Window/range-Exchange in the plan is INSIDE the InMemoryRelation
+    # description; above the cache boundary there is neither
+    assert "InMemoryTableScan" in plan
+    above_cache = plan.split("InMemoryRelation")[0]
+    assert "Window" not in above_cache
+    assert "rangepartitioning" not in above_cache
+    # spot-check the prefix-sum invariant survives
+    rows = out.orderBy("doc_id").collect()
+    acc = 0
+    for r in rows[:50]:
+        assert r["tok_start"] == acc
+        acc += r["n_tokens"]

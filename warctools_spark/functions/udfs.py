@@ -46,10 +46,14 @@ HTTP_STRUCT = T.StructType(
 )
 
 
-def make_udf_decode_http(ignore_headers=()):
+def make_udf_decode_http(ignore_headers=(), http09_fallback=False):
     """HTTP response decode udf, optionally ignoring headers at parse
     time — e.g. ("Transfer-Encoding",) replicates warc2warc
-    --wget-chunk-fix (warc2warc.py:26,31-34)."""
+    --wget-chunk-fix (warc2warc.py:26,31-34).
+
+    http09_fallback=True re-interprets payloads with no parseable
+    HTTP/1.x status line as HTTP/0.9 (whole payload = body, implied
+    200 — messaging.py:696-738) instead of surfacing an error row."""
     ignore = tuple(
         h if isinstance(h, bytes) else h.encode("latin-1")
         for h in ignore_headers
@@ -57,17 +61,25 @@ def make_udf_decode_http(ignore_headers=()):
 
     @pandas_udf(HTTP_STRUCT)
     def _udf(html: pd.Series) -> pd.DataFrame:
-        return _decode_http_batch(html, ignore)
+        return _decode_http_batch(html, ignore, http09_fallback)
 
     return _udf
 
 
-def _decode_http_batch(html: pd.Series, ignore_headers=()) -> pd.DataFrame:
+def _decode_http_batch(
+    html: pd.Series, ignore_headers=(), http09_fallback=False
+) -> pd.DataFrame:
     """HTTP response decode (messaging.py feed-whole+close semantics)."""
+    from warctools_spark.kernels.http_decode import decode_http_with_09_fallback
+
     out = {k: [] for k in ("code", "mime", "complete", "body", "decoded_body", "decoded_message", "errors")}
     for payload in html:
         if payload is None:
             res = None
+        elif http09_fallback:
+            res = decode_http_with_09_fallback(
+                bytes(payload), ignore_headers=ignore_headers
+            )
         else:
             res = decode_http(
                 bytes(payload), kind="response", ignore_headers=ignore_headers

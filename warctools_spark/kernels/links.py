@@ -150,20 +150,30 @@ _RISKY = re.compile(r"&|<!|<\?|<\s|<script|<style|\x00", re.IGNORECASE)
 _LINK_TAGS = frozenset(_TAG_ATTRS) | {"base", "meta"}
 
 # locatestarttagend_tolerant with a capture group added around the tag
-# name, derived FROM the stdlib patterns at import (fails loudly if a
-# python version changes them) — one C-regex call yields both the tag
-# end and the name, replacing the separate tagfind match per tag
-_NAME_TXT = _hp.tagfind_tolerant.pattern[1:].split(")")[0]
-assert "<" + _NAME_TXT in _hp.locatestarttagend_tolerant.pattern
-_TAG_END_NAMED = re.compile(
-    _hp.locatestarttagend_tolerant.pattern.replace(
-        "<" + _NAME_TXT, "<(" + _NAME_TXT + ")", 1
-    ),
-    _hp.locatestarttagend_tolerant.flags,
-)
-# tagfind_tolerant's trailing skip, applied after the name to position
-# the attr loop exactly where tagfind.end() used to
-_POST_NAME = re.compile(_hp.tagfind_tolerant.pattern.split(")", 1)[1])
+# name, derived FROM the stdlib's private patterns at import — one
+# C-regex call yields both the tag end and the name, replacing the
+# separate tagfind match per tag. These are PRIVATE html.parser
+# internals: if a CPython version reshapes them, we must NOT take the
+# whole module down — we just lose the fast path and every document
+# goes through the real HTMLParser (identical results, slower).
+try:
+    _NAME_TXT = _hp.tagfind_tolerant.pattern[1:].split(")")[0]
+    if "<" + _NAME_TXT not in _hp.locatestarttagend_tolerant.pattern:
+        raise ValueError("stdlib html.parser pattern shape changed")
+    _TAG_END_NAMED = re.compile(
+        _hp.locatestarttagend_tolerant.pattern.replace(
+            "<" + _NAME_TXT, "<(" + _NAME_TXT + ")", 1
+        ),
+        _hp.locatestarttagend_tolerant.flags,
+    )
+    # tagfind_tolerant's trailing skip, applied after the name to
+    # position the attr loop exactly where tagfind.end() used to
+    _POST_NAME = re.compile(_hp.tagfind_tolerant.pattern.split(")", 1)[1])
+    FAST_SCAN_AVAILABLE = True
+except Exception:  # pragma: no cover - depends on stdlib internals
+    _TAG_END_NAMED = None
+    _POST_NAME = None
+    FAST_SCAN_AVAILABLE = False
 
 
 def _fast_scan_links(body: str, base: str) -> tuple[list[str], str]:
@@ -246,7 +256,7 @@ def extract_links(base_url: str, body: bytes | str) -> list[str]:
             body = bytes(body).decode("latin-1")
     try:
         collector = _LinkCollector(base_url)
-        if _RISKY.search(body) is None:
+        if FAST_SCAN_AVAILABLE and _RISKY.search(body) is None:
             try:
                 collector.links, collector.base = _fast_scan_links(
                     body, base_url

@@ -53,10 +53,12 @@ def warc_filter(
             F.col("headers"), lambda h: _null_safe_rlike(h["value"], pattern)
         )
         # rlike is string-typed; the record content is binary — decode
-        # latin-1 (lossless byte<->codepoint) for the regex scan
+        # latin-1 ONLY (lossless byte<->codepoint), matching the
+        # reference regex that runs on raw bytes (warcfilter.py:111).
+        # A UTF-8 cast arm would over-match on non-UTF-8 payloads.
         body_hit = _null_safe_rlike(
-            F.col("content").cast("string"), pattern
-        ) | _null_safe_rlike(F.decode(F.col("content"), "ISO-8859-1"), pattern)
+            F.decode(F.col("content"), "ISO-8859-1"), pattern
+        )
         pred = header_hit | body_hit
     else:
         raise ValueError(f"unknown filter mode {mode!r}")
@@ -94,6 +96,7 @@ def warc2warc_decode(
     records: DataFrame,
     gzip_output: bool = False,
     wget_chunk_fix: bool = False,
+    http09_fallback: bool = False,
 ) -> DataFrame:
     """warc2warc -D (warc2warc.py:33-61): for response records with an
     http payload, replace content with the decoded message (chunking
@@ -101,14 +104,19 @@ def warc2warc_decode(
     records untouched. Adds `record_bytes` with the re-serialized WARC
     record (± per-record gzip member). `wget_chunk_fix` ignores
     Transfer-Encoding headers while decoding — warc2warc
-    --wget-chunk-fix (warc2warc.py:26,31-34)."""
+    --wget-chunk-fix (warc2warc.py:26,31-34). `http09_fallback`
+    interprets payloads with no HTTP/1.x status line as HTTP/0.9
+    (messaging.py:696-738) instead of leaving them as error rows —
+    extra capability; the reference CLIs never invoke HTTP09Response."""
     from warctools_spark.functions.udfs import make_udf_decode_http
 
-    decode = (
-        make_udf_decode_http((b"Transfer-Encoding",))
-        if wget_chunk_fix
-        else udf_decode_http
-    )
+    if wget_chunk_fix or http09_fallback:
+        decode = make_udf_decode_http(
+            (b"Transfer-Encoding",) if wget_chunk_fix else (),
+            http09_fallback=http09_fallback,
+        )
+    else:
+        decode = udf_decode_http
     is_http_response = (F.col("record_type") == "response") & F.col(
         "content_type"
     ).startswith("application/http")

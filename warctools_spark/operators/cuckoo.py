@@ -196,19 +196,39 @@ def delete_from_cuckoo(cuckoo: DataFrame, deletions: DataFrame, n_buckets: int) 
 
 
 def probe_cuckoo_bucketed(
-    candidates: DataFrame, cuckoo: DataFrame, n_buckets: int
+    candidates: DataFrame,
+    cuckoo: DataFrame,
+    n_buckets: int,
+    probe_salts: int | None = None,
 ) -> DataFrame:
     """candidates + maybe_seen with the filter staying distributed:
     shuffle candidates by the build-time bucket key, cogroup with the
     (bucket, bits) table, probe each bucket's table in one vectorized
     pass. No driver collect / whole-filter broadcast — the ≥1 GB path
-    (same shape as operators.seen.probe_bucketed)."""
+    (same shape as operators.seen.probe_bucketed).
+
+    Like the Bloom probe, parallelism is decoupled from n_buckets via
+    a salted cogroup key: candidates spread over (bucket, salt), the
+    filter row is replicated per salt, so one bucket's candidates can
+    run as probe_salts tasks. Auto-sizes to defaultParallelism."""
     from pyspark.sql.types import BooleanType, StructField, StructType
 
+    from warctools_spark.operators.seen import _auto_salts
+
+    if probe_salts is None:
+        probe_salts = _auto_salts(candidates, n_buckets)
     cand_cols = list(candidates.columns)
     keyed = candidates.withColumn(
         "__bucket",
         F.pmod(F.xxhash64("url_sha1"), F.lit(n_buckets)).cast("int"),
+    ).withColumn(
+        "__salt",
+        F.pmod(F.xxhash64("url_sha1", F.lit(0x5A17)), F.lit(probe_salts)).cast(
+            "int"
+        ),
+    )
+    flt_salted = cuckoo.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(probe_salts)]))
     )
     out_schema = StructType(
         list(candidates.schema.fields)
@@ -233,8 +253,8 @@ def probe_cuckoo_bucketed(
         return out
 
     return (
-        keyed.groupBy("__bucket")
-        .cogroup(cuckoo.groupBy("bucket"))
+        keyed.groupBy("__bucket", "__salt")
+        .cogroup(flt_salted.groupBy("bucket", "__salt"))
         .applyInPandas(probe_group, out_schema)
     )
 
@@ -301,8 +321,9 @@ def two_tier_dedup_cuckoo(
         raise ValueError(f"unknown probe_mode: {probe_mode!r}")
     definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    # anti-join ignores right-side duplicates: no .distinct() needed
     survivors = suspects.join(
-        seen.select("url_sha1").distinct(), on="url_sha1", how="left_anti"
+        seen.select("url_sha1"), on="url_sha1", how="left_anti"
     )
     return definitely_new.unionByName(survivors)
 
@@ -324,9 +345,27 @@ def insert_into_cuckoo(
 
     def apply_inserts(filters: pd.DataFrame, adds: pd.DataFrame) -> pd.DataFrame:
         if not len(filters):
-            # keys hashed to a bucket with no filter row: nothing to
-            # insert into — callers build with full bucket coverage
-            return filters
+            if not len(adds):
+                return filters
+            # keys hashed to a bucket with no filter row (build_cuckoo
+            # emits rows only for buckets that held keys): synthesize a
+            # fresh sized filter so the additions are NOT silently
+            # dropped — a later probe of a dropped key would answer a
+            # definitive negative and leak a duplicate past tier 2
+            flt = CuckooFilter.sized_for(len(adds))
+            overflowed = 0
+            for h in sorted(adds["url_sha1"]):
+                if not flt.insert(h):
+                    overflowed += 1
+            return pd.DataFrame(
+                {
+                    "bucket": [int(adds["bucket"].iloc[0])],
+                    "nb": [flt.nb],
+                    "version": [VERSION],
+                    "overflowed": [overflowed],
+                    "bits": [flt.to_bytes()],
+                }
+            )
         row = filters.iloc[0]
         flt = CuckooFilter.from_bytes(bytes(row["bits"]), int(row["nb"]))
         overflowed = int(row["overflowed"])

@@ -78,9 +78,13 @@ def dedup_against_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     At scale both sides are bucketed by host_hash (plans/catalog.py) so
     this is a co-partitioned join; with the Bloom pre-filter
     (operators/seen.py) only probable-new keys reach the exact join.
+
+    Anti-join semantics ignore right-side duplicates, so the seen set
+    is joined as-is — no `.distinct()`, which would add a full
+    hash-aggregate over 10^10 keys per epoch for nothing.
     """
     return candidates.join(
-        seen.select("url_sha1").distinct(), on="url_sha1", how="left_anti"
+        seen.select("url_sha1"), on="url_sha1", how="left_anti"
     )
 
 

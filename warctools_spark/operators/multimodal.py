@@ -63,12 +63,33 @@ def _decode_img1(blob: bytes) -> dict:
     return {"width": w, "height": h, "channels": c, "payload": blob[9:]}
 
 
+try:  # soft import: environments WITH Pillow get the real path
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - container has no Pillow
+    _PILImage = None
+
+
 def _decode_real_image(blob: bytes) -> dict:
-    raise NotImplementedError(
-        "real image codecs (PNG/JPEG) are not available in this "
-        "container; register_codec('image', fn) with a Pillow-backed "
-        "decoder in production"
-    )
+    """Pillow-backed PNG/JPEG decode when Pillow is importable; the
+    documented NotImplementedError seam otherwise (this container
+    ships no image libs — SURVEY §2 multimodal stub contract)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "real image codecs (PNG/JPEG) are not available in this "
+            "container; install Pillow or register_codec('image', fn) "
+            "with your own decoder in production"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(blob))
+    img.load()
+    channels = len(img.getbands())
+    return {
+        "width": int(img.width),
+        "height": int(img.height),
+        "channels": channels,
+        "payload": img.tobytes(),
+    }
 
 
 register_codec("img1", _decode_img1)

@@ -50,7 +50,12 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = with_pid.withColumn("__local_cum", F.sum("n_tokens").over(w))
+    # persist: two actions consume `local` (the totals collect below
+    # and the final projection) — without it the range partition +
+    # window recompute, doubling a full shuffle at corpus scale
+    local = with_pid.withColumn(
+        "__local_cum", F.sum("n_tokens").over(w)
+    ).persist()
 
     # per-partition totals: one row per partition -> driver, O(parts)
     totals = (

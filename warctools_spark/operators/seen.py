@@ -151,8 +151,24 @@ def union_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def _auto_salts(candidates: DataFrame, n_buckets: int) -> int:
+    """Probe parallelism should track the cluster, not the filter
+    layout: with no salting the cogroup runs at most `n_buckets` tasks
+    (one per bucket), so a 32-bucket filter would cap a 4000-core
+    cluster at 32 probe tasks. Default: enough salts that
+    buckets × salts ≥ defaultParallelism."""
+    try:
+        par = candidates.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        par = n_buckets
+    return max(1, -(-par // max(n_buckets, 1)))  # ceil div
+
+
 def probe_bucketed(
-    candidates: DataFrame, bloom: DataFrame, n_buckets: int
+    candidates: DataFrame,
+    bloom: DataFrame,
+    n_buckets: int,
+    probe_salts: int | None = None,
 ) -> DataFrame:
     """candidates + boolean `maybe_seen`, with the filter STAYING
     DISTRIBUTED: candidates are shuffled by the build-time bucket key
@@ -161,15 +177,31 @@ def probe_bucketed(
     vectorized pass. No driver collect, no SparkContext.broadcast of
     bitsets — this is the ≥1 GB / 10^10-key path (SCALE.md option 2).
 
-    Output partitioning is the bucket hash — the same key the exact
-    tier-2 join and the seen table use, so the shuffle is reused.
+    Probe parallelism is decoupled from `n_buckets` by salting the
+    cogroup key: candidates spread over (bucket, salt) via an
+    independent hash, and the bucket's filter row is replicated once
+    per salt (F.explode of a literal range), so one bucket's
+    candidates can run as `probe_salts` tasks with identical results.
+    probe_salts=None auto-sizes to the session's defaultParallelism.
     """
     from pyspark.sql.types import BooleanType, StructField, StructType
 
+    if probe_salts is None:
+        probe_salts = _auto_salts(candidates, n_buckets)
     cand_cols = list(candidates.columns)
     keyed = candidates.withColumn(
         "__bucket",
         F.pmod(F.xxhash64("url_sha1"), F.lit(n_buckets)).cast("int"),
+    ).withColumn(
+        # independent hash (extra lit column) so the salt is not a
+        # function of the bucket id
+        "__salt",
+        F.pmod(F.xxhash64("url_sha1", F.lit(0x5A17)), F.lit(probe_salts)).cast(
+            "int"
+        ),
+    )
+    flt_salted = bloom.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(probe_salts)]))
     )
     out_schema = StructType(
         list(candidates.schema.fields)
@@ -194,8 +226,8 @@ def probe_bucketed(
         return out
 
     return (
-        keyed.groupBy("__bucket")
-        .cogroup(bloom.groupBy("bucket"))
+        keyed.groupBy("__bucket", "__salt")
+        .cogroup(flt_salted.groupBy("bucket", "__salt"))
         .applyInPandas(probe_group, out_schema)
     )
 
@@ -276,7 +308,8 @@ def two_tier_dedup(
         raise ValueError(f"unknown probe_mode: {probe_mode!r}")
     definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    # anti-join ignores right-side duplicates: no .distinct() needed
     survivors = suspects.join(
-        seen.select("url_sha1").distinct(), on="url_sha1", how="left_anti"
+        seen.select("url_sha1"), on="url_sha1", how="left_anti"
     )
     return definitely_new.unionByName(survivors)

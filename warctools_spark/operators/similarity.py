@@ -92,7 +92,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     bands: int = 4,
     bits_per_band: int = 8,
-    dims: int = 64,
+    dims: int | None = None,
 ) -> DataFrame:
     """ANN top-k via banded hyperplane LSH probe + exact rerank — the
     scale path beyond the sign-cell IVF: candidates are rows sharing
@@ -105,7 +105,21 @@ def lsh_topk(
     TakeOrderedAndProject over the small candidate set. Shares the
     deterministic md5-parity hyperplanes with the dedup family
     (dedup._hyperplane), so one stored key table serves both."""
-    from warctools_spark.operators.dedup import _hyperplane, hyperplane_band_keys
+    from warctools_spark.operators.dedup import (
+        _hyperplane,
+        _resolve_dims,
+        hyperplane_band_keys,
+    )
+
+    # dims must match BOTH sides: a mismatch makes the corpus-side
+    # zip_with null out (all-zeros keys) while the driver-side query
+    # keys stay real — candidates go near-empty with no error
+    dims = _resolve_dims(emb, vec_col, dims)
+    if len(query_vec) != dims:
+        raise ValueError(
+            f"query_vec has {len(query_vec)} dims but corpus embeddings "
+            f"have {dims}"
+        )
 
     # query-side keys computed driver-side with the same hyperplanes
     probe_keys = []

@@ -318,3 +318,34 @@ def ngram_frequencies(
     if top_k:
         return counts.orderBy(F.col("n").desc(), F.col("gram")).limit(top_k)
     return counts
+
+
+def anchor_text_pairs(
+    df: DataFrame, text, url_col: str = "url"
+) -> DataFrame:
+    """(src_url, link, anchor) pairs from simple HTML anchors.
+
+    The whole <a ...>...</a> element is extracted in ONE regex pass
+    and href/anchor are pulled from the SAME match, so a tag that
+    would match an href-only pattern but not an anchor pattern (e.g.
+    nested markup: <a href=x>a <b>b</b></a>) can never shift later
+    (link, anchor) pairs out of alignment — it is simply skipped.
+    Messy/nested HTML belongs to the link kernel (kernels/links.py);
+    this is the JVM-only fast path for well-formed anchors.
+
+    `text` may be a column name or a Column (e.g. a udf output)."""
+    if isinstance(text, str):
+        text = F.col(text)
+    elems = F.regexp_extract_all(
+        text, F.lit('(<a href="[^"]*"[^>]*>[^<]*</a>)'), F.lit(1)
+    )
+    return (
+        df.select(
+            F.col(url_col).alias("src_url"), F.explode(elems).alias("e")
+        )
+        .select(
+            "src_url",
+            F.regexp_extract("e", '<a href="([^"]*)"', 1).alias("link"),
+            F.regexp_extract("e", ">([^<]*)</a>", 1).alias("anchor"),
+        )
+    )

@@ -303,7 +303,11 @@ def run_crawl(
             prev_parts = catalog.seen_parts(e - 1)
             parts = prev_parts + [catalog.table_path("seen_delta", e)]
             if compacted:
-                seen_full = spark.read.parquet(*parts).select("url_sha1").distinct()
+                # deltas are pairwise disjoint by construction (every
+                # delta was anti-joined against all prior seen parts
+                # before being written), so compaction is a plain
+                # union — no distinct shuffle over the full seen set
+                seen_full = spark.read.parquet(*parts).select("url_sha1")
                 tables.append(
                     catalog.write_table(seen_full, "seen_base", e, bucket_col=None)
                 )
