@@ -1202,6 +1202,31 @@ def _q_cuckoo_dedup(spark, sf_dir):
     )
 
 
+def _q_inverted_index(spark, sf_dir):
+    """Positional inverted index (term -> ordered doc:pos postings +
+    df), restricted to terms in >= 5 docs to keep the row set lean."""
+    from warctools_spark.operators.text_analysis import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), min_df=5)
+
+
+def _q_unigram_logprob(spark, sf_dir):
+    """CCNet-style fluency proxy: per-doc mean -ln p(token) under the
+    corpus unigram model."""
+    from warctools_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+def _q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords: the classic crawl-corpus
+    relevance/indexing signal (doc-term agg -> vocab df agg -> join ->
+    WindowGroupLimit top-k)."""
+    from warctools_spark.operators.text_analysis import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the round driver records correctness for
     # the FIRST 50 entries only. Rounds 1-2 certified the original
@@ -1286,6 +1311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_frequencies": _q_bigram_frequencies,
         "sitemap_seeds": _q_sitemap_seeds,
         "wet_records": _q_wet_records,
+        # --- new in round 3 (past-window; verified via check_oracles) ---
+        "tfidf_keywords": _q_tfidf_keywords,
+        "inverted_index": _q_inverted_index,
+        "unigram_logprob": _q_unigram_logprob,
     }
 
 
@@ -2595,6 +2624,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) FILTER (WHERE target % 2 <> 0) AS exact_count,
                    count(*) FILTER (WHERE target % 2 <> 0) AS two_tier_count
             FROM cand
+        """,
+        "inverted_index": """
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            raw AS (
+              SELECT doc_id, unnest(t) AS term,
+                     generate_subscripts(t, 1) - 1 AS pos
+              FROM d
+            ),
+            toks AS (SELECT * FROM raw WHERE term <> '')
+            SELECT term, count(*) AS n_postings,
+                   count(DISTINCT doc_id) AS df,
+                   string_agg(doc_id || ':' || pos, ','
+                              ORDER BY doc_id, pos) AS postings
+            FROM toks GROUP BY term
+            HAVING count(DISTINCT doc_id) >= 5
+        """,
+        "unigram_logprob": """
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                         AS token
+              FROM documents
+            ),
+            tk2 AS (SELECT * FROM tk WHERE token <> ''),
+            freq AS (SELECT token, count(*) AS n FROM tk2 GROUP BY token),
+            tt AS (SELECT count(*) AS t FROM tk2)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(-ln(n / CAST(t AS DOUBLE))), 4)
+                       AS mean_neg_logprob
+            FROM tk2 JOIN freq USING (token) CROSS JOIN tt
+            GROUP BY doc_id
+        """,
+        "tfidf_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                         AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term <> '' GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nn AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, term, tf, df,
+                   round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
+            FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df, nn.n,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(CAST(nn.n AS DOUBLE) / df.df)
+                                DESC, tf.term
+                     ) AS rn
+              FROM tf JOIN df USING (term) CROSS JOIN nn
+            )
+            WHERE rn <= 3
         """,
         "cuckoo_dedup": _LINKS_CTE
         + f""",

@@ -407,3 +407,81 @@ def test_pack_sequences_reuses_cached_intermediate(spark):
     for r in rows[:50]:
         assert r["tok_start"] == acc
         acc += r["n_tokens"]
+
+
+# ---------------------------------------------------------------
+# tfidf_keywords (new round-3 operator)
+# ---------------------------------------------------------------
+
+
+def test_tfidf_keywords_semantics_and_plan(spark):
+    from warctools_spark.operators.text_analysis import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "apple durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2)
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["df"]) for r in out.collect()}
+    # 'banana' appears in 2/3 docs, 'durian' in 1/3: rarity wins at
+    # equal tf; ubiquitous terms score ln(1)=0 when df == N
+    assert rows[(0, "apple")] == (2, 2)
+    assert rows[(2, "durian")] == (3, 1)
+    assert all(len([k for k in rows if k[0] == d]) <= 2 for d in (0, 1, 2))
+    plan = _plan(out)
+    # per-doc top-k must be WindowGroupLimit (map-side k filter), and
+    # the doc-term count must partially aggregate before the shuffle
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan
+
+
+def test_inverted_index_semantics(spark):
+    from warctools_spark.operators.text_analysis import inverted_index
+
+    docs = spark.createDataFrame(
+        [(0, "b a b"), (1, "a c")], "doc_id long, text string"
+    )
+    rows = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert rows["a"]["postings"] == "0:1,1:0"
+    assert rows["a"]["df"] == 2 and rows["a"]["n_postings"] == 2
+    assert rows["b"]["postings"] == "0:0,0:2"
+    assert rows["c"]["df"] == 1
+    # min_df prunes rare terms
+    pruned = {r["term"] for r in inverted_index(docs, min_df=2).collect()}
+    assert pruned == {"a"}
+
+
+def test_inverted_index_partitioning_invariant(spark):
+    from warctools_spark.operators.text_analysis import inverted_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = {
+        r["term"]: r["postings"]
+        for r in inverted_index(docs.repartition(1), min_df=5).collect()
+    }
+    many = {
+        r["term"]: r["postings"]
+        for r in inverted_index(docs.repartition(16), min_df=5).collect()
+    }
+    assert one == many and len(one) > 0
+
+
+def test_unigram_logprob_semantics(spark):
+    import math
+
+    from warctools_spark.operators.text_analysis import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # T=5; doc0 = mean(-ln(3/5), -ln(3/5), -ln(1/5))
+    exp0 = round((2 * -math.log(3 / 5) + -math.log(1 / 5)) / 3, 4)
+    assert rows[0]["mean_neg_logprob"] == exp0
+    assert rows[0]["n_tokens"] == 3 and rows[1]["n_tokens"] == 2
+    # rare-token doc scores strictly higher (more 'surprising')
+    assert rows[1]["mean_neg_logprob"] > rows[0]["mean_neg_logprob"]

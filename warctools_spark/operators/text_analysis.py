@@ -349,3 +349,126 @@ def anchor_text_pairs(
             F.regexp_extract("e", ">([^<]*)</a>", 1).alias("anchor"),
         )
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF — the classic relevance
+    signal for corpus exploration / keyword indexing over a crawl.
+
+    score(term, doc) = tf * ln(N / df), df = #docs containing term.
+
+    Plan shape at corpus scale: explode -> (doc, term) hash agg with
+    map-side combine (shuffle carries distinct doc-terms, not token
+    occurrences) -> vocab-sized df agg over those rows -> one join on
+    term (AQE broadcasts when the vocab fits) -> per-doc top-k via a
+    ranking window, which Spark 4 executes as WindowGroupLimit (<= k
+    rows per doc leave each map task). Ties break on term ascending;
+    (tf, df) ties produce bit-equal scores in any engine, so the
+    ordering is deterministic and oracle-checkable."""
+    from pyspark.sql import Window
+
+    if n_docs is None:
+        n_docs = docs.select(id_col).distinct().count()
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        score.desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(score, 6).alias("score"),
+        )
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Positional inverted index over the corpus: one row per term
+    with its ordered posting list "doc:pos,doc:pos,..." and document
+    frequency — the search-index build step over a crawl.
+
+    Plan shape: posexplode (token positions) -> one hash agg per term
+    with map-side partial aggregation; postings are sorted IN the
+    aggregate expression (sort_array over collected structs), so the
+    output is deterministic at any parallelism. Postings serialize as
+    a string so the oracle comparison is engine-neutral. At 100 TB the
+    shuffle carries (term, doc, pos) triples once; per-term skew
+    (stopwords) is bounded by min_df pre-filtering downstream or by
+    segmenting the posting list per (term, doc-range) if a single
+    term's postings outgrow a task."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    agg = toks.groupBy("term").agg(
+        F.count("*").alias("n_postings"),
+        F.countDistinct(id_col).alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(id_col), F.col("pos")))
+                ),
+                lambda s: F.concat_ws(":", s[id_col].cast("string"),
+                                      s["pos"].cast("string")),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return agg.where(F.col("df") >= min_df)
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    total_tokens: int | None = None,
+) -> DataFrame:
+    """Per-document mean unigram negative log-probability under the
+    corpus's own unigram model — the CCNet-style fluency/quality proxy
+    (a document of globally-rare tokens scores high = unusual; boiler-
+    plate scores low). score(doc) = mean over tokens of
+    -ln(count(token) / T), T = corpus token count.
+
+    Plan: one global token-frequency agg (map-side combined), one join
+    of doc tokens against the vocab table (AQE broadcasts when the
+    vocab fits), one per-doc avg agg. Every count is exact, the only
+    float is the final ln/avg (rounded for oracle comparison)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    if total_tokens is None:
+        total_tokens = toks.count()
+    neg_lp = -F.log(F.col("n") / F.lit(float(total_tokens)))
+    # round to 4: the avg sums doubles in partition order, so the last
+    # ~1e-11 is nondeterministic — 1e-4 is far above the noise floor
+    # and ample for quality gating
+    return (
+        toks.join(freq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(neg_lp), 4).alias("mean_neg_logprob"),
+        )
+    )
