@@ -1202,6 +1202,26 @@ def _q_cuckoo_dedup(spark, sf_dir):
     )
 
 
+def _q_kmeans(spark, sf_dir):
+    """SemDeDup-style deterministic k-means assignment over the
+    embeddings table (k=8, 2 Lloyd iterations, id-init centroids)."""
+    from warctools_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb, k=8, iterations=2)
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup survivors: cluster embeddings (k=8), drop any vector
+    whose cell has a lower-id vector at cosine >= 0.5 (the corpus's
+    vectors are well-spread, so the threshold sits where the drop
+    branch actually fires)."""
+    from warctools_spark.operators.similarity import semdedup_survivors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_survivors(emb, k=8, iterations=2, threshold=0.5)
+
+
 def _q_inverted_index(spark, sf_dir):
     """Positional inverted index (term -> ordered doc:pos postings +
     df), restricted to terms in >= 5 docs to keep the row set lean."""
@@ -1315,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "inverted_index": _q_inverted_index,
         "unigram_logprob": _q_unigram_logprob,
+        "kmeans_assign": _q_kmeans,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -1411,6 +1433,55 @@ cand AS (
 )
 """
 )
+
+
+# deterministic Lloyd k-means over the embeddings table (k=8, init =
+# vec_id 0..7, one round-6 centroid update); ends at d2t(vec_id,
+# cluster, d2) = squared distance to every updated centroid
+_KMEANS_CTE = """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT CAST(vec_id AS INT) AS cluster, v AS c
+              FROM e WHERE vec_id < 8
+            ),
+            d1 AS (
+              SELECT e.vec_id, c0.cluster,
+                     list_sum(list_transform(list_zip(e.v, c0.c),
+                              p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+              FROM e CROSS JOIN c0
+            ),
+            m1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM d1) WHERE rn = 1
+            ),
+            dims AS (
+              SELECT e.vec_id, unnest(e.v) AS val,
+                     generate_subscripts(e.v, 1) - 1 AS dim
+              FROM e
+            ),
+            upd AS (
+              SELECT m1.cluster, dims.dim, round(avg(dims.val), 6) AS val
+              FROM dims JOIN m1 USING (vec_id)
+              GROUP BY m1.cluster, dims.dim
+            ),
+            c1 AS (
+              SELECT cluster, list(val ORDER BY dim) AS c
+              FROM upd GROUP BY cluster
+            ),
+            d2t AS (
+              SELECT e.vec_id, c1.cluster,
+                     list_sum(list_transform(list_zip(e.v, c1.c),
+                              p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+              FROM e CROSS JOIN c1
+            )
+"""
 
 
 def _lang_sql() -> str:
@@ -2624,6 +2695,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) FILTER (WHERE target % 2 <> 0) AS exact_count,
                    count(*) FILTER (WHERE target % 2 <> 0) AS two_tier_count
             FROM cand
+        """,
+        # deterministic Lloyd: init centroids = vec_id 0..7, one
+        # update (round-6 per-dim avg), final assignment; argmin
+        # breaks ties on cluster id
+        "kmeans_assign": _KMEANS_CTE
+        + """
+            SELECT vec_id, cluster, round(sqrt(d2), 6) AS dist FROM (
+              SELECT vec_id, cluster, d2, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+              FROM d2t) WHERE rn = 1
+        """,
+        # SemDeDup: drop any vector whose k-means cell holds a
+        # lower-id vector at cosine >= 0.5 (round-6 both engines)
+        "semdedup": _KMEANS_CTE
+        + """
+            , m2 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM d2t) WHERE rn = 1
+            ),
+            ke AS (SELECT e.vec_id, m2.cluster, e.v
+                   FROM e JOIN m2 USING (vec_id)),
+            dropped AS (
+              SELECT DISTINCT x.vec_id
+              FROM ke x JOIN ke y
+                ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+              WHERE round(
+                      list_sum(list_transform(list_zip(x.v, y.v),
+                               p -> p[1]*p[2]))
+                      / (sqrt(list_sum(list_transform(x.v, q -> q*q)))
+                         * sqrt(list_sum(list_transform(y.v, q -> q*q)))),
+                      6) >= 0.5
+            )
+            SELECT vec_id, cluster FROM ke
+            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         """,
         "inverted_index": """
             WITH d AS (

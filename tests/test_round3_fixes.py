@@ -485,3 +485,51 @@ def test_unigram_logprob_semantics(spark):
     assert rows[0]["n_tokens"] == 3 and rows[1]["n_tokens"] == 2
     # rare-token doc scores strictly higher (more 'surprising')
     assert rows[1]["mean_neg_logprob"] > rows[0]["mean_neg_logprob"]
+
+
+def test_kmeans_assign_semantics_and_determinism(spark):
+    from warctools_spark.operators.similarity import kmeans_assign
+
+    # two tight blobs far apart; init ids 0,1 are one per blob
+    rows = [(0, [0.0, 0.0]), (2, [0.1, -0.1]), (4, [-0.1, 0.1]),
+            (1, [10.0, 10.0]), (3, [10.1, 9.9]), (5, [9.9, 10.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cluster"] for r in
+           kmeans_assign(emb, k=2, iterations=3).collect()}
+    assert got[0] == got[2] == got[4] == 0
+    assert got[1] == got[3] == got[5] == 1
+    # partitioning-invariance: same assignment at any layout
+    got16 = {r["vec_id"]: r["cluster"] for r in
+             kmeans_assign(emb.repartition(16), k=2, iterations=3).collect()}
+    assert got == got16
+
+
+def test_kmeans_assignment_is_jvm_only(spark):
+    from warctools_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = kmeans_assign(emb, k=4, iterations=1)
+    plan = _plan(out)
+    # assignment must be pure Catalyst expressions: no Python eval,
+    # no join, no shuffle in the final assignment pass
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_semdedup_drops_near_duplicates_within_cluster(spark):
+    from warctools_spark.operators.similarity import semdedup_survivors
+
+    rows = [
+        (0, [1.0, 0.0]), (2, [0.999, 0.01]), (4, [0.998, -0.01]),  # blob A
+        (1, [0.0, 1.0]), (3, [0.01, 0.999]),                       # blob B
+        (5, [-1.0, -1.0]),                                         # loner in B's cell? far from both
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    surv = {r["vec_id"] for r in
+            semdedup_survivors(emb, k=2, iterations=2, threshold=0.95).collect()}
+    # lowest id survives each near-dup group; near-copies are dropped
+    assert 0 in surv and 2 not in surv and 4 not in surv
+    assert 1 in surv and 3 not in surv
+    # the far-away vector survives regardless of its cell
+    assert 5 in surv

@@ -148,3 +148,132 @@ def lsh_topk(
         )
     ).drop("__bk", "__v")
     return brute_force_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared euclidean distance to a literal centroid, summed as a
+    left fold in index order — the same fold order DuckDB's list
+    functions use, so oracle values match bit-for-bit pre-rounding."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_centroids: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column — the
+    clustering stage of SemDeDup-style semantic dedup (cluster first,
+    then run exact near-dup only within clusters) and of IVF index
+    training.
+
+    Determinism: centroids initialize to the vectors of the k lowest
+    ids (no RNG); assignment argmin breaks ties on cluster id; updated
+    centroids round to `round_centroids` decimals so the ~1e-13
+    summation-order noise of a distributed avg cannot flip later
+    assignments between runs or engines.
+
+    Scale shape: assignment is a JVM-only expression over a literal
+    centroid array (no join, no shuffle); the update is one
+    posexplode + (cluster, dim) hash agg with map-side combine, and
+    only k x dims averaged values return to the driver per iteration
+    (the same O(small) driver traffic as Lloyd on any cluster).
+    Returns (id, cluster, dist) with euclidean dist rounded to 6.
+    """
+    keyed = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    init_rows = keyed.orderBy(id_col).limit(k).collect()
+    centroids = {i: list(r["__v"]) for i, r in enumerate(init_rows)}
+    dims = len(next(iter(centroids.values()))) if centroids else 0
+
+    def assign(df):
+        cells = F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("__v"), c).alias("d2"),
+                    F.lit(cid).alias("cluster"),
+                )
+                for cid, c in sorted(centroids.items())
+            ]
+        )
+        best = F.array_min(cells)
+        return df.withColumn("cluster", best["cluster"]).withColumn(
+            "__d2", best["d2"]
+        )
+
+    assigned = assign(keyed)
+    for _ in range(max(iterations - 1, 0)):
+        upd = (
+            assigned.select("cluster", F.posexplode("__v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val"), round_centroids).alias("val"))
+            .collect()
+        )
+        new_c: dict = {}
+        for r in upd:
+            new_c.setdefault(int(r["cluster"]), [0.0] * dims)[int(r["dim"])] = (
+                float(r["val"])
+            )
+        # empty clusters keep their previous centroid
+        centroids = {cid: new_c.get(cid, c) for cid, c in centroids.items()}
+        assigned = assign(keyed)
+    return assigned.select(
+        id_col,
+        "cluster",
+        F.round(F.sqrt(F.col("__d2")), 6).alias("dist"),
+    )
+
+
+def semdedup_survivors(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 pattern, public): cluster the
+    embeddings, then drop any vector whose cluster contains a
+    LOWER-id vector with cosine >= threshold. Returns survivors
+    (id, cluster).
+
+    This is the scale story for semantic dedup: the O(n²) cosine
+    comparison is confined within k-means cells, so the self-join
+    shuffles on the cluster key and each task does at most
+    (n/k)² work — k is the knob that bounds per-task cost. Keeper
+    choice (lowest id) is deterministic; the cosine is rounded to 6
+    before thresholding so engine fp noise cannot flip membership."""
+    assigned = kmeans_assign(emb, k, iterations, id_col, vec_col).select(
+        F.col(id_col), "cluster"
+    )
+    keyed = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).join(assigned, id_col)
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), "cluster", F.col("__v").alias("__va")
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), "cluster", F.col("__v").alias("__vb")
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(F.round(cos, 6) >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return keyed.join(dropped, id_col, "left_anti").select(
+        F.col(id_col), "cluster"
+    )
