@@ -1211,6 +1211,25 @@ def _q_kmeans(spark, sf_dir):
     return kmeans_assign(emb, k=8, iterations=2)
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    """Lee-et-al-style exact substring duplication: merged >=15-token
+    spans of duplicated 10-grams (corpus-wide first occurrence
+    exempt)."""
+    from warctools_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=10, min_span_tokens=15)
+
+
+def _q_remove_duplicate_spans(spark, sf_dir):
+    """Substring-dedup rewrite: documents with their duplicated spans
+    cut out (first occurrence survives)."""
+    from warctools_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _docs(spark, sf_dir), k=10, min_span_tokens=15
+    )
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup survivors: cluster embeddings (k=8), drop any vector
     whose cell has a lower-id vector at cosine >= 0.5 (the corpus's
@@ -1337,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "kmeans_assign": _q_kmeans,
         "semdedup": _q_semdedup,
+        "duplicate_spans": _q_duplicate_spans,
+        "remove_duplicate_spans": _q_remove_duplicate_spans,
     }
 
 
@@ -1480,6 +1501,55 @@ _KMEANS_CTE = """
                      list_sum(list_transform(list_zip(e.v, c1.c),
                               p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
               FROM e CROSS JOIN c1
+            )
+"""
+
+
+# duplicated-10-gram spans (gaps-and-islands over non-first k-gram
+# occurrences); ends at spans(doc_id, span_start, span_end, n_tokens)
+# with min_span_tokens=15
+_SPANS_CTE = """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, t, unnest(range(1, len(t) - 10 + 2)) AS i
+              FROM d WHERE len(t) >= 10
+            ),
+            g AS (
+              SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+                     array_to_string(t[i:i+9], ' ') AS gram
+              FROM idx
+            ),
+            dup AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, row_number() OVER (
+                  PARTITION BY gram ORDER BY doc_id, pos) AS rn
+                FROM g) WHERE rn > 1
+            ),
+            marked AS (
+              SELECT doc_id, pos,
+                     max(pos + 10) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_end
+              FROM dup
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS island
+              FROM marked
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS span_start,
+                     max(pos) + 10 AS span_end,
+                     max(pos) + 10 - min(pos) AS n_tokens
+              FROM isl GROUP BY doc_id, island
+              HAVING max(pos) + 10 - min(pos) >= 15
             )
 """
 
@@ -2731,6 +2801,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cluster FROM ke
             WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        """,
+        "duplicate_spans": _SPANS_CTE
+        + """
+            SELECT doc_id, span_start, span_end, n_tokens FROM spans
+        """,
+        "remove_duplicate_spans": _SPANS_CTE
+        + """
+            , tok AS (
+              SELECT doc_id, unnest(t) AS tokval,
+                     generate_subscripts(t, 1) - 1 AS p
+              FROM d
+            ),
+            kept AS (
+              SELECT tok.doc_id, tok.p, tok.tokval FROM tok
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tok.doc_id
+                  AND tok.p >= s.span_start AND tok.p < s.span_end)
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(kept.tokval, ' ' ORDER BY kept.p),
+                            '') AS clean_text,
+                   len(d.t) - count(kept.p) AS n_removed_tokens
+            FROM d LEFT JOIN kept USING (doc_id)
+            GROUP BY d.doc_id, len(d.t)
         """,
         "inverted_index": """
             WITH d AS (

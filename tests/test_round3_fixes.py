@@ -533,3 +533,58 @@ def test_semdedup_drops_near_duplicates_within_cluster(spark):
     assert 1 in surv and 3 not in surv
     # the far-away vector survives regardless of its cell
     assert 5 in surv
+
+
+def _span_docs(spark):
+    passage = " ".join(f"w{i}" for i in range(30))  # 30-token passage
+    return spark.createDataFrame(
+        [
+            (0, passage + " unique0 tail0"),
+            (1, "head1 " + passage + " unique1"),       # full repeat
+            (2, "totally different words " + " ".join(f"x{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicate_spans_first_occurrence_exempt(spark):
+    from warctools_spark.operators.dedup import duplicate_spans
+
+    spans = duplicate_spans(
+        _span_docs(spark), k=10, min_span_tokens=15
+    ).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0 holds the corpus-wide first occurrence: no spans there
+    assert 0 not in by_doc and 2 not in by_doc
+    # doc 1's copy is one MERGED span covering the whole passage
+    assert len(by_doc[1]) == 1
+    s = by_doc[1][0]
+    assert (s["span_start"], s["span_end"], s["n_tokens"]) == (1, 31, 30)
+
+
+def test_remove_duplicate_spans_rewrite(spark):
+    from warctools_spark.operators.dedup import remove_duplicate_spans
+
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(
+        _span_docs(spark), k=10, min_span_tokens=15).collect()}
+    assert out[1]["clean_text"] == "head1 unique1"
+    assert out[1]["n_removed_tokens"] == 30
+    # untouched docs come back verbatim (token-joined)
+    assert out[0]["n_removed_tokens"] == 0
+    assert out[0]["clean_text"].startswith("w0 w1 ")
+    assert out[2]["n_removed_tokens"] == 0
+
+
+def test_duplicate_spans_within_one_doc(spark):
+    from warctools_spark.operators.dedup import duplicate_spans
+
+    passage = " ".join(f"p{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(7, passage + " mid " + passage)], "doc_id long, text string"
+    )
+    spans = duplicate_spans(docs, k=10, min_span_tokens=15).collect()
+    # the second in-doc occurrence (positions 21..41) is flagged
+    assert len(spans) == 1
+    assert spans[0]["span_start"] == 21 and spans[0]["n_tokens"] == 20

@@ -638,3 +638,127 @@ def segment_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 10,
+    min_span_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication spans, the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    pattern re-expressed relationally (the published approach builds a
+    suffix array; the k-gram first-occurrence formulation below finds
+    the same >= min_span_tokens repeated spans for span lengths
+    expressible as runs of duplicated k-grams, with linear shuffles
+    instead of a distributed suffix sort).
+
+    A token position is DUPLICATED when the k-gram starting there has
+    a strictly earlier occurrence — earlier meaning a smaller
+    (doc_id, pos), so the corpus-wide first occurrence of any repeated
+    passage is exempt and survives downstream removal. Duplicated
+    positions are merged into maximal spans [start, end) with the
+    classic gaps-and-islands window (running max of span ends), and
+    spans shorter than min_span_tokens are discarded.
+
+    Plan shape: k-gram explode -> one hash agg per gram computing the
+    global min (doc,pos) occurrence (map-side combined) -> join back
+    on gram -> per-doc window over positions (partitioned by doc, so
+    no global sort). Returns (doc_id, span_start, span_end, n_tokens).
+    """
+    from pyspark.sql import Window
+
+    from warctools_spark.operators.text_analysis import word_ngrams
+
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos", "gram"),
+    )
+    first = grams.groupBy("gram").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    )
+    dups = (
+        grams.join(first, "gram")
+        .where(
+            (F.col("first")[id_col] != F.col(id_col))
+            | (F.col("first")["pos"] != F.col("pos"))
+        )
+        .select(id_col, "pos")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # island starts where this k-gram interval [pos, pos+k) does not
+    # touch the running max end of earlier intervals
+    marked = dups.withColumn(
+        "prev_end", F.max(F.col("pos") + k).over(w)
+    ).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")),
+            1,
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w2))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .withColumn("n_tokens", F.col("span_end") - F.col("span_start"))
+        .where(F.col("n_tokens") >= min_span_tokens)
+        .select(id_col, "span_start", "span_end", "n_tokens")
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 10,
+    min_span_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite documents with their duplicated spans (duplicate_spans
+    semantics — first corpus occurrence survives) cut out: tokens
+    whose position falls inside any flagged span are dropped and the
+    remainder re-joined with single spaces. Returns
+    (id, clean_text, n_removed_tokens). One extra join on doc id plus
+    a per-doc collect_list of its (few) spans — spans per doc are
+    bounded by text length / min_span_tokens, so the list stays tiny.
+    """
+    from warctools_spark.operators.text_analysis import tokens
+
+    spans = duplicate_spans(docs, k, min_span_tokens, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(tokens(F.col(text_col)))
+    joined = docs.join(per_doc, id_col, "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.array())
+    )
+    keep = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(keep, lambda s: s["t"]), " ").alias(
+            "clean_text"
+        ),
+        (F.size(toks) - F.size(keep)).alias("n_removed_tokens"),
+    )
