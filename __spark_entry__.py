@@ -1296,6 +1296,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpack_paths": _q_unpack_paths,
         "cuckoo_dedup": _q_cuckoo_dedup,
         "bloom_dedup": _q_bloom_dedup,
+        # --- new in round 3, never driver-checked: in-window so
+        # CORRECTNESS_r03 certifies them on first exposure ---
+        "tfidf_keywords": _q_tfidf_keywords,
+        "inverted_index": _q_inverted_index,
+        "unigram_logprob": _q_unigram_logprob,
+        "kmeans_assign": _q_kmeans,
+        "semdedup": _q_semdedup,
+        "duplicate_spans": _q_duplicate_spans,
+        "remove_duplicate_spans": _q_remove_duplicate_spans,
         # --- core surface (driver-green in r02, kept in-window) ---
         "page_index": _q_page_index,
         "filter_url": _q_filter_url,
@@ -1312,26 +1321,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": _q_minhash,
         "ngram_jaccard": _q_jaccard,
         "simhash": _q_simhash,
-        "lang_id": _q_lang_id,
-        "token_counts": _q_token_counts,
-        "quality_score": _q_quality,
         "token_frequencies": _q_token_frequencies,
         "decontaminate": _q_decontaminate,
-        "scrub_pii": _q_scrub_pii,
         "repetition_features": _q_repetition,
         "segment_dedup": _q_segment_dedup,
         "gopher_gate": _q_gopher_gate,
         "training_corpus_v2": _q_training_corpus_v2,
         "pack_sequences": _q_pack_sequences,
-        "main_content": _q_main_content,
-        "skew_report": _q_skew_report,
         "stratified_sample": _q_stratified_sample,
         "fixed_n_sample": _q_fixed_n_sample,
-        "corpus_mix": _q_corpus_mix,
         "embedding_topk": _q_embedding_topk,
-        # --- past the driver's 50-entry window: certified green by the
-        # driver in CORRECTNESS_r02.json, re-verified locally via
-        # tools/check_oracles.py (same gate, same sf) ---
+        # --- past the driver's 50-entry window: every entry below was
+        # certified green by the driver in CORRECTNESS_r02.json and is
+        # re-verified locally each round via tools/check_oracles.py
+        # (same gate, same sf) ---
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
+        "quality_score": _q_quality,
+        "scrub_pii": _q_scrub_pii,
+        "main_content": _q_main_content,
+        "skew_report": _q_skew_report,
+        "corpus_mix": _q_corpus_mix,
         "filter_url_invert": _q_filter_url_invert,
         "link_rank": _q_link_rank,
         "politeness_topk_salted": _q_politeness_topk_salted,
@@ -1350,14 +1360,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_frequencies": _q_bigram_frequencies,
         "sitemap_seeds": _q_sitemap_seeds,
         "wet_records": _q_wet_records,
-        # --- new in round 3 (past-window; verified via check_oracles) ---
-        "tfidf_keywords": _q_tfidf_keywords,
-        "inverted_index": _q_inverted_index,
-        "unigram_logprob": _q_unigram_logprob,
-        "kmeans_assign": _q_kmeans,
-        "semdedup": _q_semdedup,
-        "duplicate_spans": _q_duplicate_spans,
-        "remove_duplicate_spans": _q_remove_duplicate_spans,
     }
 
 
