@@ -1329,12 +1329,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_v2": _q_training_corpus_v2,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
-        "fixed_n_sample": _q_fixed_n_sample,
+        # anchor_texts changed extraction semantics in round 3 (whole-
+        # element regex), so its r02 certification is stale — it stays
+        # in-window for fresh driver certification
+        "anchor_texts": _q_anchor_texts,
         "embedding_topk": _q_embedding_topk,
         # --- past the driver's 50-entry window: every entry below was
-        # certified green by the driver in CORRECTNESS_r02.json and is
-        # re-verified locally each round via tools/check_oracles.py
-        # (same gate, same sf) ---
+        # certified green by the driver in CORRECTNESS_r02.json (and
+        # has not changed since), re-verified locally each round via
+        # tools/check_oracles.py (same gate, same sf) ---
+        "fixed_n_sample": _q_fixed_n_sample,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_score": _q_quality,
@@ -1347,7 +1351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_topk_salted": _q_politeness_topk_salted,
         "dedup_exact_keep_first": _q_dedup_exact_keep_first,
         "doc_fingerprint": _q_fingerprint,
-        "anchor_texts": _q_anchor_texts,
         "host_graph": _q_host_graph,
         "robots_sitemaps": _q_robots_sitemaps,
         "cdx_index": _q_cdx_index,
@@ -1494,9 +1497,15 @@ _KMEANS_CTE = """
               FROM dims JOIN m1 USING (vec_id)
               GROUP BY m1.cluster, dims.dim
             ),
-            c1 AS (
+            c1u AS (
               SELECT cluster, list(val ORDER BY dim) AS c
               FROM upd GROUP BY cluster
+            ),
+            -- a cluster that emptied in round 1 keeps its round-0
+            -- centroid (matches kmeans_assign's stale-centroid rule)
+            c1 AS (
+              SELECT c0.cluster, coalesce(c1u.c, c0.c) AS c
+              FROM c0 LEFT JOIN c1u USING (cluster)
             ),
             d2t AS (
               SELECT e.vec_id, c1.cluster,

@@ -153,6 +153,25 @@ def q_segment_dedup(spark, pages_path):
     ).collect()[0]["k"]
 
 
+def q_duplicate_spans(spark, pages_path):
+    """Extra measurement: exact substring-duplication spans over the
+    documents table (k-gram explode + first-occurrence agg + per-doc
+    island windows)."""
+    from warctools_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    return duplicate_spans(docs, k=10, min_span_tokens=15).count()
+
+
+def q_kmeans(spark, pages_path):
+    """Extra measurement: deterministic Lloyd k-means assignment over
+    the embeddings table (k=16, 2 iterations)."""
+    from warctools_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
+    return kmeans_assign(emb, k=16, iterations=2).count()
+
+
 def main():
     from warctools_spark.session import get_spark
 
@@ -207,6 +226,8 @@ def main():
     for name, fn in (
         ("bloom_bucketed", q_bloom_bucketed),
         ("segment_dedup", q_segment_dedup),
+        ("duplicate_spans", q_duplicate_spans),
+        ("kmeans_assign", q_kmeans),
     ):
         results[name], extra_cold[name], extra[name] = timed(fn, pages_path)
 

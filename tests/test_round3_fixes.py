@@ -393,14 +393,12 @@ def test_pack_sequences_reuses_cached_intermediate(spark):
             "simple"
         )
     )
-    # the final projection must read the persisted window result, not
-    # recompute the range partition + window a second time: the only
-    # Window/range-Exchange in the plan is INSIDE the InMemoryRelation
-    # description; above the cache boundary there is neither
-    assert "InMemoryTableScan" in plan
-    above_cache = plan.split("InMemoryRelation")[0]
-    assert "Window" not in above_cache
-    assert "rangepartitioning" not in above_cache
+    # the final projection must read the checkpointed window result
+    # (an ExistingRDD scan), not recompute the range partition +
+    # window a second time
+    assert "ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
     # spot-check the prefix-sum invariant survives
     rows = out.orderBy("doc_id").collect()
     acc = 0
@@ -588,3 +586,35 @@ def test_duplicate_spans_within_one_doc(spark):
     # the second in-doc occurrence (positions 21..41) is flagged
     assert len(spans) == 1
     assert spans[0]["span_start"] == 21 and spans[0]["n_tokens"] == 20
+
+
+def test_ragged_embedding_fails_job_not_silently(spark):
+    """A wrong-length vector past the first row must FAIL the job
+    (raise_error guard), not silently collapse into a zero bucket."""
+    from py4j.protocol import Py4JJavaError
+
+    from warctools_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception) as ei:
+        embedding_cosine_pairs(emb, threshold=0.5, dims=None).collect()
+    assert "not 3-dimensional" in str(ei.value)
+
+
+def test_dup_clusters_converging_exactly_at_max_iter_ok(spark):
+    """Fixpoint reached on the final round must NOT raise: the
+    post-loop verification pass distinguishes 'last change was the
+    final one needed' from truncated propagation."""
+    from warctools_spark.operators.dedup import dup_clusters
+
+    # 5-node chain: round r propagates labels one hop; the last
+    # change lands exactly on round 4 == max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a long, id_b long"
+    )
+    verts = spark.range(5).withColumnRenamed("id", "doc_id")
+    rows = dup_clusters(pairs, verts, max_iter=4).collect()
+    assert all(r["cluster_id"] == 0 for r in rows) and len(rows) == 5

@@ -359,10 +359,16 @@ def _resolve_dims(emb: DataFrame, vec_col: str, dims: int | None) -> int:
     shorter/longer literal coefficient array pads with null, every dot
     goes null, and all vectors silently collapse into one all-zeros
     bucket per band. None → derive from the first row; an explicit
-    mismatch raises instead of destroying recall."""
+    mismatch raises instead of destroying recall. A null first vector
+    raises too (any dims claim would be unverifiable)."""
     row = emb.select(F.size(F.col(vec_col)).alias("n")).first()
     if row is None:  # empty input: any dims works
         return dims if dims is not None else 1
+    if row["n"] is None or int(row["n"]) < 0:
+        raise ValueError(
+            f"first row of column {vec_col!r} is NULL; cannot derive or "
+            "verify embedding dims — drop null vectors first"
+        )
     actual = int(row["n"])
     if dims is not None and dims != actual:
         raise ValueError(
@@ -370,6 +376,32 @@ def _resolve_dims(emb: DataFrame, vec_col: str, dims: int | None) -> int:
             f"{vec_col!r}; pass dims={actual} or dims=None to derive it"
         )
     return actual
+
+
+def _require_dims(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
+    """Executor-side guard: any row whose vector is null or not
+    exactly `dims` long fails the JOB with a clear message instead of
+    silently corrupting band keys / distances (the first-row check in
+    _resolve_dims cannot see ragged tails). Pure Catalyst filter —
+    raise_error only evaluates on offending rows, so the good-row path
+    costs one size comparison."""
+    ok = F.size(F.col(vec_col)) == dims
+    return df.where(
+        F.when(ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"embedding in {vec_col!r} is null or not "
+                        f"{dims}-dimensional (got size "
+                    ),
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
+                    ),
+                    F.lit(")"),
+                )
+            ).cast("boolean")
+        )
+    )
 
 
 def embedding_cosine_pairs(
@@ -395,7 +427,7 @@ def embedding_cosine_pairs(
     is pinned by test_hyperplane_lsh_recall.
     """
     dims = _resolve_dims(emb, vec_col, dims)
-    keyed = emb.select(
+    keyed = _require_dims(emb, vec_col, dims).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     banded = keyed.select(
@@ -510,9 +542,31 @@ def dup_clusters(
         if not last_changed:
             break
     if last_changed:
-        # exiting at max_iter with labels still moving means a long
-        # chain is only partially propagated: clusters are SPLIT and
-        # keep-one dedup downstream would silently retain duplicates
+        # the loop exited at max_iter with the LAST round still
+        # applying changes — but that round may have been the final
+        # one needed (fixpoint reached exactly at max_iter). One
+        # verification pass distinguishes 'converged on the last
+        # round' from genuinely truncated propagation; it runs only
+        # in this suspicious case.
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "src"), on="src"
+        ).select(F.col("dst").alias("node"), "label")
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        last_changed = (
+            merged.join(
+                labels.select("node", F.col("label").alias("old")), on="node"
+            )
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+    if last_changed:
+        # labels genuinely still moving: a long chain is only
+        # partially propagated — clusters are SPLIT and keep-one
+        # dedup downstream would silently retain duplicates
         msg = (
             f"dup_clusters did not converge in max_iter={max_iter} "
             f"rounds ({last_changed} labels still changing); raise "

@@ -50,12 +50,15 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # persist: two actions consume `local` (the totals collect below
-    # and the final projection) — without it the range partition +
-    # window recompute, doubling a full shuffle at corpus scale
+    # localCheckpoint: two actions consume `local` (the totals collect
+    # below and the final projection) — without it the range partition
+    # + window recompute, doubling a full shuffle at corpus scale.
+    # Checkpoint rather than persist so the blocks are reclaimed by
+    # the ContextCleaner when the result is dropped, instead of
+    # pinning a cache-manager entry for the session lifetime.
     local = with_pid.withColumn(
         "__local_cum", F.sum("n_tokens").over(w)
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # per-partition totals: one row per partition -> driver, O(parts)
     totals = (

@@ -156,12 +156,17 @@ def _auto_salts(candidates: DataFrame, n_buckets: int) -> int:
     layout: with no salting the cogroup runs at most `n_buckets` tasks
     (one per bucket), so a 32-bucket filter would cap a 4000-core
     cluster at 32 probe tasks. Default: enough salts that
-    buckets × salts ≥ defaultParallelism."""
+    buckets × salts ≥ defaultParallelism, CAPPED at 16 — each salt
+    replicates every bucket's filter bytes through the shuffle, so
+    unbounded salts would multiply filter traffic by cores/buckets on
+    a big cluster. Past the cap the right fix is more buckets (SCALE.md
+    prescribes 4096 at the 10^10-key design point), not more copies;
+    pass probe_salts explicitly to override."""
     try:
         par = candidates.sparkSession.sparkContext.defaultParallelism
     except Exception:
         par = n_buckets
-    return max(1, -(-par // max(n_buckets, 1)))  # ceil div
+    return min(16, max(1, -(-par // max(n_buckets, 1))))  # ceil div
 
 
 def probe_bucketed(

@@ -107,6 +107,7 @@ def lsh_topk(
     (dedup._hyperplane), so one stored key table serves both."""
     from warctools_spark.operators.dedup import (
         _hyperplane,
+        _require_dims,
         _resolve_dims,
         hyperplane_band_keys,
     )
@@ -115,6 +116,7 @@ def lsh_topk(
     # zip_with null out (all-zeros keys) while the driver-side query
     # keys stay real — candidates go near-empty with no error
     dims = _resolve_dims(emb, vec_col, dims)
+    emb = _require_dims(emb, vec_col, dims)
     if len(query_vec) != dims:
         raise ValueError(
             f"query_vec has {len(query_vec)} dims but corpus embeddings "
@@ -188,12 +190,19 @@ def kmeans_assign(
     (the same O(small) driver traffic as Lloyd on any cluster).
     Returns (id, cluster, dist) with euclidean dist rounded to 6.
     """
-    keyed = emb.select(
+    from warctools_spark.operators.dedup import _require_dims, _resolve_dims
+
+    dims = _resolve_dims(emb, vec_col, None)
+    keyed = _require_dims(emb, vec_col, dims).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     init_rows = keyed.orderBy(id_col).limit(k).collect()
+    if any(r["__v"] is None for r in init_rows):
+        raise ValueError(
+            "null embedding among the k lowest-id init vectors; drop "
+            "null vectors before clustering"
+        )
     centroids = {i: list(r["__v"]) for i, r in enumerate(init_rows)}
-    dims = len(next(iter(centroids.values()))) if centroids else 0
 
     def assign(df):
         cells = F.array(

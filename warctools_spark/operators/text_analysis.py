@@ -459,13 +459,24 @@ def unigram_logprob(
     ).where(F.col("token") != "")
     freq = toks.groupBy("token").agg(F.count("*").alias("n"))
     if total_tokens is None:
-        total_tokens = toks.count()
-    neg_lp = -F.log(F.col("n") / F.lit(float(total_tokens)))
+        # lazy total: sum the (small) vocab table and broadcast the
+        # single row — no extra eager pass over the corpus
+        total = F.broadcast(
+            freq.agg(F.sum("n").cast("double").alias("__T"))
+        )
+    else:
+        total = F.broadcast(
+            docs.sparkSession.range(1).select(
+                F.lit(float(total_tokens)).alias("__T")
+            )
+        )
+    neg_lp = -F.log(F.col("n") / F.col("__T"))
     # round to 4: the avg sums doubles in partition order, so the last
     # ~1e-11 is nondeterministic — 1e-4 is far above the noise floor
     # and ample for quality gating
     return (
         toks.join(freq, "token")
+        .crossJoin(total)
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
