@@ -618,3 +618,16 @@ def test_dup_clusters_converging_exactly_at_max_iter_ok(spark):
     verts = spark.range(5).withColumnRenamed("id", "doc_id")
     rows = dup_clusters(pairs, verts, max_iter=4).collect()
     assert all(r["cluster_id"] == 0 for r in rows) and len(rows) == 5
+
+
+def test_kmeans_pandas_mode_matches_expr_mode(spark):
+    from warctools_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ex = {r["vec_id"]: (r["cluster"], r["dist"]) for r in
+          kmeans_assign(emb, k=8, iterations=2, assign_mode="expr").collect()}
+    pa = {r["vec_id"]: (r["cluster"], r["dist"]) for r in
+          kmeans_assign(emb, k=8, iterations=2, assign_mode="pandas").collect()}
+    assert set(ex) == set(pa)
+    assert all(ex[i][0] == pa[i][0] for i in ex)          # same clusters
+    assert all(abs(ex[i][1] - pa[i][1]) < 1e-5 for i in ex)  # same dists

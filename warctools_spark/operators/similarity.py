@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -171,6 +173,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_centroids: int = 6,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """Deterministic Lloyd k-means over an embedding column — the
     clustering stage of SemDeDup-style semantic dedup (cluster first,
@@ -183,13 +186,22 @@ def kmeans_assign(
     summation-order noise of a distributed avg cannot flip later
     assignments between runs or engines.
 
-    Scale shape: assignment is a JVM-only expression over a literal
-    centroid array (no join, no shuffle); the update is one
-    posexplode + (cluster, dim) hash agg with map-side combine, and
-    only k x dims averaged values return to the driver per iteration
-    (the same O(small) driver traffic as Lloyd on any cluster).
-    Returns (id, cluster, dist) with euclidean dist rounded to 6.
+    Scale shape: assignment has two interchangeable physical modes —
+    "expr": a JVM-only expression over a literal centroid array (no
+    join, no shuffle, and the exact left-fold arithmetic the DuckDB
+    oracle replays bit-for-bit); "pandas": one Arrow-batched numpy
+    GEMM per batch (||x-c||² = ||x||² - 2x·Cᵀ + ||c||²), which beats
+    the k×dims-literal codegen once centroids get large but sums in
+    pairwise (not left-fold) order, so argmin can differ from "expr"
+    only on sub-ulp distance ties. "auto" (default) picks expr below
+    k*dims=1024 (the oracle-parity regime) and pandas above. The
+    update is one posexplode + (cluster, dim) hash agg with map-side
+    combine, and only k x dims averaged values return to the driver
+    per iteration (the same O(small) driver traffic as Lloyd on any
+    cluster). Returns (id, cluster, dist) with dist rounded to 6.
     """
+    from pyspark.sql.functions import pandas_udf
+
     from warctools_spark.operators.dedup import _require_dims, _resolve_dims
 
     dims = _resolve_dims(emb, vec_col, None)
@@ -203,8 +215,12 @@ def kmeans_assign(
             "null vectors before clustering"
         )
     centroids = {i: list(r["__v"]) for i, r in enumerate(init_rows)}
+    if assign_mode == "auto":
+        assign_mode = "pandas" if k * dims >= 1024 else "expr"
+    if assign_mode not in ("expr", "pandas"):
+        raise ValueError(f"unknown assign_mode: {assign_mode!r}")
 
-    def assign(df):
+    def assign_expr(df):
         cells = F.array(
             *[
                 F.struct(
@@ -218,6 +234,37 @@ def kmeans_assign(
         return df.withColumn("cluster", best["cluster"]).withColumn(
             "__d2", best["d2"]
         )
+
+    def assign_pandas(df):
+        cids = np.array(sorted(centroids))
+        cmat = np.array([centroids[c] for c in sorted(centroids)])
+        cnorm = (cmat * cmat).sum(axis=1)
+
+        @pandas_udf("struct<cluster:int,d2:double>")
+        def _assign(vs: pd.Series) -> pd.DataFrame:
+            x = np.array(vs.tolist(), dtype=np.float64)
+            if x.size == 0:
+                return pd.DataFrame({"cluster": [], "d2": []})
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ cmat.T)
+                + cnorm[None, :]
+            )
+            best = d2.argmin(axis=1)  # first index wins = lowest cid
+            return pd.DataFrame(
+                {
+                    "cluster": cids[best].astype("int32"),
+                    # clamp: the expanded form can go slightly negative
+                    "d2": np.maximum(d2[np.arange(len(best)), best], 0.0),
+                }
+            )
+
+        a = _assign(F.col("__v"))
+        return df.withColumn("cluster", a["cluster"]).withColumn(
+            "__d2", a["d2"]
+        )
+
+    assign = assign_expr if assign_mode == "expr" else assign_pandas
 
     assigned = assign(keyed)
     for _ in range(max(iterations - 1, 0)):
