@@ -1230,6 +1230,14 @@ def _q_remove_duplicate_spans(spark, sf_dir):
     )
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Sliding-window token chunking (window=64, stride=32) — RAG /
+    context-window prep, pure Catalyst sequence+slice+explode."""
+    from warctools_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=64, stride=32)
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup survivors: cluster embeddings (k=8), drop any vector
     whose cell has a lower-id vector at cosine >= 0.5 (the corpus's
@@ -1363,6 +1371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_frequencies": _q_bigram_frequencies,
         "sitemap_seeds": _q_sitemap_seeds,
         "wet_records": _q_wet_records,
+        # new in round 3 late-stage (past-window this round; rotate
+        # into the window next round for driver certification)
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -2812,6 +2823,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cluster FROM ke
             WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        """,
+        "chunk_documents": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS t
+              FROM documents
+            ),
+            st AS (
+              SELECT doc_id, t,
+                     unnest(range(0, len(t), 32)) AS s,
+                     generate_subscripts(range(0, len(t), 32), 1) - 1
+                         AS chunk_id
+              FROM d WHERE len(t) > 0
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(s AS INT) AS tok_start,
+                   CAST(least(64, len(t) - s) AS INT) AS n_tokens,
+                   array_to_string(t[s+1:s+64], ' ') AS chunk
+            FROM st
         """,
         "duplicate_spans": _SPANS_CTE
         + """

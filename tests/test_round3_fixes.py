@@ -631,3 +631,35 @@ def test_kmeans_pandas_mode_matches_expr_mode(spark):
     assert set(ex) == set(pa)
     assert all(ex[i][0] == pa[i][0] for i in ex)          # same clusters
     assert all(abs(ex[i][1] - pa[i][1]) < 1e-5 for i in ex)  # same dists
+
+
+def test_chunk_documents_semantics(spark):
+    from warctools_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))), (1, "a b"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (
+            (r["doc_id"], r["chunk_id"], r["tok_start"], r["n_tokens"],
+             r["chunk"])
+            for r in chunk_documents(docs, window=4, stride=3).collect()
+        )
+    )
+    # doc 0: starts 0,3,6,9 — windows clamp at the end
+    assert [(c[2], c[3]) for c in rows if c[0] == 0] == [
+        (0, 4), (3, 4), (6, 4), (9, 1)
+    ]
+    assert rows[0][4] == "t0 t1 t2 t3"
+    # every token of doc 0 is covered by >= 1 chunk
+    covered = set()
+    for _, _, s, n, _ in [c for c in rows if c[0] == 0]:
+        covered.update(range(s, s + n))
+    assert covered == set(range(10))
+    # short doc: a single full chunk; empty doc: none
+    assert [(c[2], c[3], c[4]) for c in rows if c[0] == 1] == [(0, 2, "a b")]
+    assert not [c for c in rows if c[0] == 2]
+    # pure-Catalyst plan: no Python eval, no shuffle
+    plan = _plan(chunk_documents(docs, window=4, stride=3))
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan

@@ -483,3 +483,48 @@ def unigram_logprob(
             F.round(F.avg(neg_lp), 4).alias("mean_neg_logprob"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 256,
+    stride: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window prep stage
+    for RAG indexing / long-document training: each doc becomes
+    ceil(max(n-window,0)/stride)+1 overlapping chunks of up to
+    `window` tokens starting every `stride` tokens.
+
+    Pure Catalyst (sequence -> transform/slice -> explode): no Python,
+    no shuffle — chunking is embarrassingly parallel over the scan,
+    and the explode multiplies rows ~n/stride with columnar pruning
+    intact. Returns (doc_id, chunk_id, tok_start, n_tokens, chunk).
+    Empty documents yield no chunks; the final chunk is the last
+    start < n, so every token lands in >= 1 chunk."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(
+        F.size(toks)
+    )
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            s.alias("tok_start"),
+            F.least(F.lit(window), n - s).alias("n_tokens"),
+            F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk"),
+        ),
+    )
+    return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.tok_start").alias("tok_start"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )
