@@ -345,3 +345,122 @@ def test_segment_dedup_reconstruction_property(corpora):
         for r in con.execute(sql).fetchall()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------
+# round-3 operator properties (pure-Python replays of the Catalyst
+# expressions, checked against the Spark output on sampled corpora)
+# ---------------------------------------------------------------
+
+words_strategy = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=3), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(words_strategy, min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_chunk_documents_covers_every_token(spark, corpora, window, stride):
+    from warctools_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpora)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, window=window, stride=stride).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, ws in enumerate(corpora):
+        chunks = by_doc.get(i, [])
+        if not ws:
+            assert chunks == []
+            continue
+        covered = set()
+        for r in chunks:
+            # chunk text really is the slice it claims to be
+            assert r["chunk"] == " ".join(
+                ws[r["tok_start"]:r["tok_start"] + r["n_tokens"]]
+            )
+            assert 1 <= r["n_tokens"] <= window
+            covered.update(range(r["tok_start"], r["tok_start"] + r["n_tokens"]))
+        if stride <= window:
+            # overlapping/adjacent regime: full coverage guaranteed
+            assert covered == set(range(len(ws)))
+        else:
+            # subsampling regime: one chunk per start, gaps allowed
+            assert all(
+                s in covered for s in range(0, len(ws), stride)
+            )
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(words_strategy, min_size=1, max_size=5))
+def test_inverted_index_counts_consistent(spark, corpora):
+    from warctools_spark.operators.text_analysis import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpora)],
+        "doc_id long, text string",
+    )
+    rows = inverted_index(docs).collect()
+    # total postings equals total (non-empty) tokens
+    assert sum(r["n_postings"] for r in rows) == sum(
+        len(ws) for ws in corpora
+    )
+    for r in rows:
+        postings = r["postings"].split(",") if r["postings"] else []
+        assert len(postings) == r["n_postings"]
+        # posting list is sorted by (doc, pos) and df matches it
+        parsed = [tuple(map(int, p.split(":"))) for p in postings]
+        assert parsed == sorted(parsed)
+        assert len({d for d, _ in parsed}) == r["df"]
+        # every posting points at the right token
+        for d, p in parsed:
+            assert corpora[d][p] == r["term"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(words_strategy, min_size=1, max_size=4),
+    st.integers(min_value=2, max_value=4),
+)
+def test_duplicate_spans_are_disjoint_and_in_bounds(spark, corpora, k):
+    from warctools_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpora)],
+        "doc_id long, text string",
+    )
+    rows = duplicate_spans(docs, k=k, min_span_tokens=k).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for i, spans in by_doc.items():
+        n = len(corpora[i])
+        spans.sort()
+        prev_end = -1
+        for s, e in spans:
+            assert 0 <= s < e <= n
+            assert s > prev_end  # merged spans never overlap or touch
+            prev_end = e
+        # every flagged span's text occurs earlier in the corpus order
+        for s, e in spans:
+            gram = corpora[i][s:s + k]
+            found_earlier = False
+            for j, ws in enumerate(corpora):
+                limit = len(ws) if j < i else s
+                for p in range(max(0, limit - k + 1) if j <= i else 0):
+                    if j > i:
+                        break
+                    if ws[p:p + k] == gram and (j < i or p < s):
+                        found_earlier = True
+                        break
+                if found_earlier:
+                    break
+            assert found_earlier

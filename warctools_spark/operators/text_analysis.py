@@ -501,8 +501,10 @@ def chunk_documents(
     no shuffle — chunking is embarrassingly parallel over the scan,
     and the explode multiplies rows ~n/stride with columnar pruning
     intact. Returns (doc_id, chunk_id, tok_start, n_tokens, chunk).
-    Empty documents yield no chunks; the final chunk is the last
-    start < n, so every token lands in >= 1 chunk."""
+    Empty documents yield no chunks. When stride <= window (the
+    overlapping/adjacent regime) every token lands in >= 1 chunk;
+    stride > window deliberately subsamples, leaving stride-window
+    token gaps between chunks (property-tested both ways)."""
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
     toks = tokens(F.col(text_col))
