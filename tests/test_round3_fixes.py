@@ -663,3 +663,44 @@ def test_chunk_documents_semantics(spark):
     # pure-Catalyst plan: no Python eval, no shuffle
     plan = _plan(chunk_documents(docs, window=4, stride=3))
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_dup_clusters_disk_checkpoint_doubling_long_chain(spark, tmp_path):
+    """With checkpoint_dir, pointer doubling is enabled (parquet
+    round-trips reset the inherited plan stats): a 200-node chain
+    converges in O(log n) rounds where plain propagation would need
+    199."""
+    from warctools_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    verts = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = dup_clusters(
+        pairs, verts, max_iter=15, checkpoint_dir=str(tmp_path / "ck")
+    )
+    rows = out.collect()
+    assert len(rows) == 200 and all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_dup_clusters_disk_mode_matches_memory_mode(spark, tmp_path):
+    import random
+
+    from warctools_spark.operators.dedup import dup_clusters
+
+    rng = random.Random(11)
+    data = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    data = [(a, b) for a, b in data if a != b]
+    pairs = spark.createDataFrame(data, "id_a long, id_b long")
+    verts = spark.range(200).withColumnRenamed("id", "doc_id")
+    mem = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dup_clusters(pairs, verts).collect()
+    )
+    disk = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dup_clusters(
+            pairs, verts, checkpoint_dir=str(tmp_path / "ck2")
+        ).collect()
+    )
+    assert mem == disk

@@ -473,6 +473,7 @@ def dup_clusters(
     id_col: str = "doc_id",
     max_iter: int = 50,
     on_nonconverged: str = "raise",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve near-duplicate pairs into clusters: (id, cluster_id)
     where cluster_id is the minimum id reachable through the pair
@@ -491,16 +492,25 @@ def dup_clusters(
     raises (or warns, on_nonconverged="warn"): truncated propagation
     means silently split clusters.
 
-    Deliberately NOT pointer-doubled: a label(label) shortcut join
-    would cut rounds to O(log diameter), but it makes the iterated
-    plan reference the label relation twice per round, and Spark's
-    size-only stats estimator multiplies child sizes through joins
-    while localCheckpoint's LogicalRDD INHERITS the estimated stats —
-    so the sizeInBytes bit-length doubles per round and by round ~12
-    the driver burns minutes in BigInteger multiplication (measured:
+    checkpoint_dir=None (default) deliberately does NOT pointer-
+    double: the label(label) shortcut makes the iterated plan
+    reference the label relation twice per round, Spark's size-only
+    stats estimator multiplies child sizes through joins, and
+    localCheckpoint's LogicalRDD INHERITS the estimated stats — the
+    sizeInBytes bit-length doubles per round and by round ~12 the
+    driver burns minutes in BigInteger multiplication (measured:
     0.4 s/round flat without the shortcut over 36 rounds; 22 s at
-    round 12 with it). O(diameter) with a hard convergence check is
-    the scalable choice under Catalyst's estimator.
+    round 12 with it).
+
+    For adversarial long-chain graphs pass `checkpoint_dir`: labels
+    then round-trip through parquet each round, which resets the
+    inherited stats to real file sizes AND truncates lineage, making
+    the label(label) shortcut safe — convergence drops to
+    O(log diameter) rounds (a 10^6-node chain resolves in ~40 rounds,
+    not 10^6) at the cost of one small parquet write per round (the
+    GraphFrames-style checkpointing discipline). Intermediate round
+    files are deleted; the final labels parquet stays (the returned
+    DataFrame reads from it).
     """
     from pyspark.sql import Observation
 
@@ -514,10 +524,22 @@ def dup_clusters(
         vertices.select(F.col(id_col).alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    spark = pairs.sparkSession
+    round_paths: list[str] = []
+
+    def disk_ckpt(df: DataFrame, i: int) -> DataFrame:
+        path = f"{checkpoint_dir}/dup_clusters_round_{i:05d}"
+        df.write.mode("overwrite").parquet(path)
+        round_paths.append(path)
+        return spark.read.parquet(path)
+
+    if checkpoint_dir is None:
+        labels = labels.localCheckpoint(eager=True)
+    else:
+        labels = disk_ckpt(labels, 0)
     last_changed = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("node", "src"), on="src"
         ).select(F.col("dst").alias("node"), "label")
@@ -526,6 +548,19 @@ def dup_clusters(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
+        if checkpoint_dir is not None:
+            # pointer doubling — safe here because the parquet
+            # round-trip below resets the inherited plan stats
+            shortcut = labels.select(
+                F.col("node").alias("label"), F.col("label").alias("label2")
+            )
+            merged = merged.join(shortcut, on="label", how="left").select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("label2"), F.col("label")),
+                ).alias("label"),
+            )
         obs = Observation()
         delta = merged.join(
             labels.select("node", F.col("label").alias("old")), on="node"
@@ -534,13 +569,23 @@ def dup_clusters(
             "label",
             (F.col("label") != F.col("old")).cast("int").alias("chg"),
         )
-        new_labels = delta.observe(obs, F.sum("chg").alias("changed")).select(
+        observed = delta.observe(obs, F.sum("chg").alias("changed")).select(
             "node", "label"
-        ).localCheckpoint(eager=True)
-        labels = new_labels
+        )
+        if checkpoint_dir is None:
+            labels = observed.localCheckpoint(eager=True)
+        else:
+            labels = disk_ckpt(observed, it + 1)
         last_changed = int(obs.get["changed"] or 0)
         if not last_changed:
             break
+    if checkpoint_dir is not None and len(round_paths) > 1:
+        # intermediates are dead weight; the final round backs the
+        # returned DataFrame and stays
+        import shutil
+
+        for p in round_paths[:-1]:
+            shutil.rmtree(p, ignore_errors=True)
     if last_changed:
         # the loop exited at max_iter with the LAST round still
         # applying changes — but that round may have been the final
