@@ -1230,6 +1230,18 @@ def _q_remove_duplicate_spans(spark, sf_dir):
     )
 
 
+def _q_corpus_drift(spark, sf_dir):
+    """Snapshot drift report: even-id docs vs odd-id docs — token
+    totals, vocab overlap, add-1-smoothed KL(A||B)."""
+    from warctools_spark.operators.text_analysis import corpus_drift
+
+    docs = _docs(spark, sf_dir)
+    return corpus_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Sliding-window token chunking (window=64, stride=32) — RAG /
     context-window prep, pure Catalyst sequence+slice+explode."""
@@ -1374,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3 late-stage (past-window this round; rotate
         # into the window next round for driver certification)
         "chunk_documents": _q_chunk_documents,
+        "corpus_drift": _q_corpus_drift,
     }
 
 
@@ -2823,6 +2836,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cluster FROM ke
             WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        """,
+        "corpus_drift": """
+            WITH ta AS (
+              SELECT token, count(*) AS na FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS token
+                FROM documents WHERE doc_id % 2 = 0
+              ) WHERE token <> '' GROUP BY token
+            ),
+            tb AS (
+              SELECT token, count(*) AS nb FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS token
+                FROM documents WHERE doc_id % 2 = 1
+              ) WHERE token <> '' GROUP BY token
+            ),
+            j AS (
+              SELECT coalesce(ta.na, 0) AS na, coalesce(tb.nb, 0) AS nb
+              FROM ta FULL OUTER JOIN tb USING (token)
+            ),
+            tot AS (
+              SELECT CAST(sum(na) AS DOUBLE) AS sta,
+                     CAST(sum(nb) AS DOUBLE) AS stb,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM j
+            )
+            SELECT CAST(sum(na) AS BIGINT) AS tokens_a,
+                   CAST(sum(nb) AS BIGINT) AS tokens_b,
+                   CAST(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS vocab_a,
+                   CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS vocab_b,
+                   CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS vocab_overlap,
+                   round(sum(((na+1)/(sta+v)) *
+                             ln(((na+1)/(sta+v)) / ((nb+1)/(stb+v)))), 4)
+                       AS kl_a_b
+            FROM j CROSS JOIN tot
         """,
         "chunk_documents": """
             WITH d AS (

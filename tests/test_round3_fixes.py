@@ -704,3 +704,25 @@ def test_dup_clusters_disk_mode_matches_memory_mode(spark, tmp_path):
         ).collect()
     )
     assert mem == disk
+
+
+def test_corpus_drift_semantics(spark):
+    import math
+
+    from warctools_spark.operators.text_analysis import corpus_drift
+
+    a = spark.createDataFrame(
+        [(0, "x x y"), (1, "x z")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame([(2, "x y y")], "doc_id long, text string")
+    r = corpus_drift(a, b).collect()[0]
+    assert (r["tokens_a"], r["tokens_b"]) == (5, 3)
+    assert (r["vocab_a"], r["vocab_b"], r["vocab_overlap"]) == (3, 2, 2)
+    # add-1 smoothing over the 3-token union vocab
+    pa = {"x": 4 / 8, "y": 2 / 8, "z": 2 / 8}
+    pb = {"x": 2 / 6, "y": 3 / 6, "z": 1 / 6}
+    kl = sum(pa[t] * math.log(pa[t] / pb[t]) for t in pa)
+    assert r["kl_a_b"] == round(kl, 4)
+    # identical corpora drift to zero
+    same = corpus_drift(a, a).collect()[0]
+    assert same["kl_a_b"] == 0.0

@@ -530,3 +530,59 @@ def chunk_documents(
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.chunk").alias("chunk"),
     )
+
+
+def corpus_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row drift report between two corpus snapshots (e.g. this
+    month's crawl vs last month's): token totals, vocabulary sizes and
+    overlap, and the add-1-smoothed KL divergence KL(A||B) over the
+    union vocabulary — the standard monitor for distribution shift
+    before mixing a new snapshot into training data.
+
+    Plan shape: one token-frequency hash agg per side (map-side
+    combined), a full outer join on the (vocab-sized) frequency
+    tables, scalar totals via broadcast one-row aggregates — all
+    lazy, one pass per corpus. Counts are exact; the only floats are
+    the final smoothed log terms (rounded to 4, far above the
+    summation-order noise floor).
+    """
+    fa = token_frequencies(docs_a, text_col).withColumnRenamed("n", "na")
+    fb = token_frequencies(docs_b, text_col).withColumnRenamed("n", "nb")
+    # checkpoint the (vocab-sized) joined table: both the totals
+    # branch and the KL aggregate read it, and without this each
+    # branch would re-scan both corpora
+    joined = (
+        fa.join(fb, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = F.broadcast(
+        joined.agg(
+            F.sum("na").cast("double").alias("ta"),
+            F.sum("nb").cast("double").alias("tb"),
+            F.count("*").cast("double").alias("v"),
+        )
+    )
+    pa = (F.col("na") + 1) / (F.col("ta") + F.col("v"))
+    pb = (F.col("nb") + 1) / (F.col("tb") + F.col("v"))
+    return (
+        joined.crossJoin(totals)
+        .agg(
+            F.sum("na").cast("long").alias("tokens_a"),
+            F.sum("nb").cast("long").alias("tokens_b"),
+            F.sum((F.col("na") > 0).cast("int")).alias("vocab_a"),
+            F.sum((F.col("nb") > 0).cast("int")).alias("vocab_b"),
+            F.sum(
+                ((F.col("na") > 0) & (F.col("nb") > 0)).cast("int")
+            ).alias("vocab_overlap"),
+            F.round(F.sum(pa * F.log(pa / pb)), 4).alias("kl_a_b"),
+        )
+    )
