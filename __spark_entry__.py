@@ -2883,12 +2883,19 @@ def oracle_sql() -> dict[str, str]:
                      END AS t
               FROM documents
             ),
+            lim AS (
+              SELECT doc_id, t,
+                     least(CAST(ceil(greatest(len(t) - 64, 0) / 32.0) * 32
+                                AS BIGINT),
+                           len(t) - 1) AS last_start
+              FROM d WHERE len(t) > 0
+            ),
             st AS (
               SELECT doc_id, t,
-                     unnest(range(0, len(t), 32)) AS s,
-                     generate_subscripts(range(0, len(t), 32), 1) - 1
+                     unnest(range(0, last_start + 1, 32)) AS s,
+                     generate_subscripts(range(0, last_start + 1, 32), 1) - 1
                          AS chunk_id
-              FROM d WHERE len(t) > 0
+              FROM lim
             )
             SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
                    CAST(s AS INT) AS tok_start,

@@ -449,18 +449,17 @@ def test_duplicate_spans_are_disjoint_and_in_bounds(spark, corpora, k):
             assert 0 <= s < e <= n
             assert s > prev_end  # merged spans never overlap or touch
             prev_end = e
-        # every flagged span's text occurs earlier in the corpus order
+        # every flagged span's leading k-gram has a STRICTLY earlier
+        # occurrence (smaller (doc, pos) — overlapping same-doc
+        # occurrences count, e.g. 'a a a' at k=2: pos 1 duplicates
+        # pos 0 even though the windows overlap)
         for s, e in spans:
             gram = corpora[i][s:s + k]
-            found_earlier = False
-            for j, ws in enumerate(corpora):
-                limit = len(ws) if j < i else s
-                for p in range(max(0, limit - k + 1) if j <= i else 0):
-                    if j > i:
-                        break
-                    if ws[p:p + k] == gram and (j < i or p < s):
-                        found_earlier = True
-                        break
-                if found_earlier:
-                    break
+            found_earlier = any(
+                ws[p:p + k] == gram
+                for j, ws in enumerate(corpora[:i + 1])
+                for p in range(
+                    (len(ws) - k + 1) if j < i else s
+                )
+            )
             assert found_earlier

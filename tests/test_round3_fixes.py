@@ -647,9 +647,10 @@ def test_chunk_documents_semantics(spark):
             for r in chunk_documents(docs, window=4, stride=3).collect()
         )
     )
-    # doc 0: starts 0,3,6,9 — windows clamp at the end
+    # doc 0 (10 tokens): starts 0,3,6 — the start-6 chunk reaches the
+    # end, so no redundant strict-suffix tail chunk is emitted
     assert [(c[2], c[3]) for c in rows if c[0] == 0] == [
-        (0, 4), (3, 4), (6, 4), (9, 1)
+        (0, 4), (3, 4), (6, 4)
     ]
     assert rows[0][4] == "t0 t1 t2 t3"
     # every token of doc 0 is covered by >= 1 chunk

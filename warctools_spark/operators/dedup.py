@@ -527,12 +527,30 @@ def dup_clusters(
     )
     spark = pairs.sparkSession
     round_paths: list[str] = []
+    if checkpoint_dir is not None:
+        import uuid
+
+        # unique per-call run directory: two concurrent dup_clusters
+        # calls sharing a checkpoint_dir must not overwrite/delete
+        # each other's round files
+        run_dir = f"{checkpoint_dir}/dup_clusters_{uuid.uuid4().hex[:12]}"
 
     def disk_ckpt(df: DataFrame, i: int) -> DataFrame:
-        path = f"{checkpoint_dir}/dup_clusters_round_{i:05d}"
+        path = f"{run_dir}/round_{i:05d}"
         df.write.mode("overwrite").parquet(path)
         round_paths.append(path)
         return spark.read.parquet(path)
+
+    def fs_delete(path: str) -> None:
+        # scheme-agnostic deletion through the Hadoop FileSystem API —
+        # shutil would silently no-op on hdfs:// or s3a:// paths
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+        except Exception:
+            pass  # cleanup is best-effort; correctness never depends on it
 
     if checkpoint_dir is None:
         labels = labels.localCheckpoint(eager=True)
@@ -582,10 +600,8 @@ def dup_clusters(
     if checkpoint_dir is not None and len(round_paths) > 1:
         # intermediates are dead weight; the final round backs the
         # returned DataFrame and stays
-        import shutil
-
         for p in round_paths[:-1]:
-            shutil.rmtree(p, ignore_errors=True)
+            fs_delete(p)
     if last_changed:
         # the loop exited at max_iter with the LAST round still
         # applying changes — but that round may have been the final

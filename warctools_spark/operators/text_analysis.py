@@ -500,19 +500,28 @@ def chunk_documents(
     Pure Catalyst (sequence -> transform/slice -> explode): no Python,
     no shuffle — chunking is embarrassingly parallel over the scan,
     and the explode multiplies rows ~n/stride with columnar pruning
-    intact. Returns (doc_id, chunk_id, tok_start, n_tokens, chunk).
-    Empty documents yield no chunks. When stride <= window (the
+    intact. Returns (doc_id, chunk_id, tok_start, n_tokens, chunk):
+    starts advance by `stride` until a chunk reaches the end of the
+    document (exactly ceil(max(n-window,0)/stride)+1 chunks when
+    stride <= window), so the final chunk always covers the tail and
+    no chunk is a redundant strict suffix of its predecessor. Empty
+    documents yield no chunks. When stride <= window (the
     overlapping/adjacent regime) every token lands in >= 1 chunk;
     stride > window deliberately subsamples, leaving stride-window
-    token gaps between chunks (property-tested both ways)."""
+    token gaps between interior chunks (property-tested both ways)."""
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
     toks = tokens(F.col(text_col))
-    n = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(
-        F.size(toks)
+    n = token_count(F.col(text_col))
+    # cap at n-1: with stride > window the ceil can land past the
+    # last token, which would emit an empty tail chunk
+    last_start = F.least(
+        F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(stride)).cast("int")
+        * stride,
+        n - 1,
     )
     starts = F.when(
-        n > 0, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+        n > 0, F.sequence(F.lit(0), last_start, F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts,
@@ -552,9 +561,12 @@ def corpus_drift(
     """
     fa = token_frequencies(docs_a, text_col).withColumnRenamed("n", "na")
     fb = token_frequencies(docs_b, text_col).withColumnRenamed("n", "nb")
-    # checkpoint the (vocab-sized) joined table: both the totals
-    # branch and the KL aggregate read it, and without this each
-    # branch would re-scan both corpora
+    # LAZY local checkpoint of the (vocab-sized) joined table: both
+    # the totals branch and the KL aggregate read it, so without this
+    # each branch would re-scan both corpora. eager=False keeps
+    # construction free of work (materializes at the caller's first
+    # action) and the blocks are ContextCleaner-reclaimed when the
+    # result is dropped — no cache-manager entry pinned.
     joined = (
         fa.join(fb, "token", "full_outer")
         .select(
@@ -562,7 +574,7 @@ def corpus_drift(
             F.coalesce("na", F.lit(0)).alias("na"),
             F.coalesce("nb", F.lit(0)).alias("nb"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     totals = F.broadcast(
         joined.agg(
