@@ -1269,6 +1269,19 @@ def _q_inverted_index(spark, sf_dir):
     return inverted_index(_docs(spark, sf_dir), min_df=5)
 
 
+def _q_inverted_index_segmented(spark, sf_dir):
+    """Skew-proof inverted index: hot terms split into hash-assigned
+    segments of <= ~40 postings (segment keys are map-side
+    expressions — no rank window, so no term can serialize a task)."""
+    from warctools_spark.operators.text_analysis import (
+        inverted_index_segmented,
+    )
+
+    return inverted_index_segmented(
+        _docs(spark, sf_dir), segment_size=40, min_df=5
+    )
+
+
 def _q_unigram_logprob(spark, sf_dir):
     """CCNet-style fluency proxy: per-doc mean -ln p(token) under the
     corpus unigram model."""
@@ -1387,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # into the window next round for driver certification)
         "chunk_documents": _q_chunk_documents,
         "corpus_drift": _q_corpus_drift,
+        "inverted_index_segmented": _q_inverted_index_segmented,
     }
 
 
@@ -2945,6 +2959,40 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id, pos) AS postings
             FROM toks GROUP BY term
             HAVING count(DISTINCT doc_id) >= 5
+        """,
+        "inverted_index_segmented": """
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            raw AS (
+              SELECT doc_id, unnest(t) AS term,
+                     generate_subscripts(t, 1) - 1 AS pos
+              FROM d
+            ),
+            toks AS (SELECT * FROM raw WHERE term <> ''),
+            counts AS (
+              SELECT term, count(*) AS n_term_postings,
+                     count(DISTINCT doc_id) AS df
+              FROM toks GROUP BY term
+            ),
+            seg AS (
+              SELECT toks.doc_id, toks.pos, toks.term, counts.df,
+                     CAST(
+                       CAST(('0x' || substr(md5(CAST(toks.doc_id
+                                                     AS VARCHAR)), 1, 15))
+                            AS BIGINT)
+                       % greatest(CAST(ceil(counts.n_term_postings / 40.0)
+                                       AS BIGINT), 1)
+                     AS INT) AS segment
+              FROM toks JOIN counts USING (term)
+              WHERE counts.df >= 5
+            )
+            SELECT term, segment, min(df) AS df,
+                   count(*) AS n_postings,
+                   string_agg(doc_id || ':' || pos, ','
+                              ORDER BY doc_id, pos) AS postings
+            FROM seg GROUP BY term, segment
         """,
         "unigram_logprob": """
             WITH tk AS (

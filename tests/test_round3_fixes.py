@@ -727,3 +727,38 @@ def test_corpus_drift_semantics(spark):
     # identical corpora drift to zero
     same = corpus_drift(a, a).collect()[0]
     assert same["kl_a_b"] == 0.0
+
+
+def test_inverted_index_segmented_bounds_and_reconstructs(spark):
+    from warctools_spark.operators.text_analysis import (
+        inverted_index,
+        inverted_index_segmented,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    flat = {r["term"]: r for r in inverted_index(docs, min_df=5).collect()}
+    seg = inverted_index_segmented(docs, segment_size=40, min_df=5).collect()
+    # a hot term really splits into multiple segments
+    by_term: dict = {}
+    for r in seg:
+        by_term.setdefault(r["term"], []).append(r)
+    assert any(len(v) > 1 for v in by_term.values())
+    for term, rows in by_term.items():
+        # per-segment posting counts hover around segment_size (hash
+        # assignment: allow generous slack) and NEVER the full term
+        if len(rows) > 1:
+            assert all(r["n_postings"] < flat[term]["n_postings"]
+                       for r in rows)
+        # merging segments reconstructs the exact flat posting list
+        merged = sorted(
+            tuple(map(int, p.split(":")))
+            for r in rows
+            for p in r["postings"].split(",")
+        )
+        expect = sorted(
+            tuple(map(int, p.split(":")))
+            for p in flat[term]["postings"].split(",")
+        )
+        assert merged == expect
+        assert all(r["df"] == flat[term]["df"] for r in rows)
+    assert set(by_term) == set(flat)

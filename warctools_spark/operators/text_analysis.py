@@ -598,3 +598,68 @@ def corpus_drift(
             F.round(F.sum(pa * F.log(pa / pb)), 4).alias("kl_a_b"),
         )
     )
+
+
+def inverted_index_segmented(
+    docs: DataFrame,
+    segment_size: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Skew-proof inverted index: a stopword-grade term whose postings
+    outgrow one task is split into ~n_postings/segment_size SEGMENT
+    rows, keyed (term, segment). Segments are assigned by hashing the
+    doc id over ceil(df/segment_size) buckets — a pure map-side
+    expression, so no term ever serializes a task the way a
+    rank-within-term window would (the window would put the whole hot
+    term in one task, recreating the problem it solves). Within a
+    segment, postings are sorted (doc, pos); a term's full ordered
+    posting list is the segment-ordered concatenation ONLY per
+    segment — readers merge segments, which is how production index
+    formats shard hot terms anyway.
+
+    Two linear passes: a (term -> df) count agg (map-side combined,
+    the skewed term collapses to partial rows per task), a join back
+    on term (vocab-sized build side, AQE broadcasts), then the
+    (term, segment) posting agg whose per-group size is bounded by
+    ~segment_size regardless of term frequency."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(
+        F.count("*").alias("n_term_postings"),
+        F.countDistinct(id_col).alias("df"),
+    )
+    n_segments = F.ceil(
+        F.col("n_term_postings") / F.lit(segment_size)
+    ).cast("int")
+    # md5-derived doc hash (engine-portable, same family as the
+    # minhash oracles) so segmentation is replayable in SQL
+    doc_hash = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    seg = toks.join(counts.where(F.col("df") >= min_df), "term").withColumn(
+        "segment",
+        F.pmod(doc_hash, F.greatest(n_segments, F.lit(1))).cast("int"),
+    )
+    return (
+        seg.groupBy("term", "segment")
+        .agg(
+            # df is constant within a term group; min is deterministic
+            F.min("df").alias("df"),
+            F.count("*").alias("n_postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col(id_col), F.col("pos")))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s[id_col].cast("string"), s["pos"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
