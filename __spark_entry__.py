@@ -1230,6 +1230,32 @@ def _q_remove_duplicate_spans(spark, sf_dir):
     )
 
 
+def _q_length_report(spark, sf_dir):
+    """Token-length distribution report (count/total/mean/min/max +
+    interpolated p25/p50/p75/p95) — the pre-filtering sanity check."""
+    from warctools_spark.operators.text_analysis import length_report
+
+    return length_report(_docs(spark, sf_dir))
+
+
+_MODEL_FEATS = ["n_tokens", "n_punct", "n_stopwords_en", "n_distinct_tokens"]
+
+
+def _q_quality_model_moments(spark, sf_dir):
+    """The distributed half of quality-classifier training: exact
+    integer Gram moments (X'X, X'y) over the quality features with
+    label = (lang == 'en') — ONE map-side-combinable aggregate; the
+    (k+1)x(k+1) ridge solve is driver math (unit-tested vs numpy)."""
+    from warctools_spark.operators.modeling import gram_moments
+    from warctools_spark.operators.text_analysis import quality_features
+
+    docs = _docs(spark, sf_dir)
+    feats = quality_features(docs).withColumn(
+        "is_en", (F.col("lang") == "en").cast("int")
+    )
+    return gram_moments(feats, _MODEL_FEATS, "is_en")
+
+
 def _q_corpus_drift(spark, sf_dir):
     """Snapshot drift report: even-id docs vs odd-id docs — token
     totals, vocab overlap, add-1-smoothed KL(A||B)."""
@@ -1401,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "corpus_drift": _q_corpus_drift,
         "inverted_index_segmented": _q_inverted_index_segmented,
+        "quality_model_moments": _q_quality_model_moments,
+        "length_report": _q_length_report,
     }
 
 
@@ -1601,6 +1629,45 @@ _SPANS_CTE = """
               HAVING max(pos) + 10 - min(pos) >= 15
             )
 """
+
+
+def _quality_model_moments_sql() -> str:
+    """Exact integer Gram moments over the quality features with the
+    (lang='en') label — generated to mirror modeling.gram_moments's
+    s_i / m_i_j naming for any feature count."""
+    cols = [
+        "n_tokens",
+        "n_punct",
+        "n_stop",
+        "n_distinct_tokens",
+        "is_en",
+    ]
+    parts = ["count(*) AS n"]
+    for i, a in enumerate(cols):
+        parts.append(f"CAST(sum({a}) AS BIGINT) AS s_{i}")
+        for j, b in enumerate(cols[i:], start=i):
+            parts.append(f"CAST(sum({a} * {b}) AS BIGINT) AS m_{i}_{j}")
+    return (
+        "SELECT "
+        + ", ".join(parts)
+        + """
+            FROM (
+              SELECT
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS n_tokens,
+                len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                len(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'),
+                    t -> list_contains(['the','and','of','to','a','in','is',
+                                        'that'], t))) AS n_stop,
+                len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                    AS n_distinct_tokens,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+              FROM documents
+            )
+        """
+    )
 
 
 def _lang_sql() -> str:
@@ -2959,6 +3026,24 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id, pos) AS postings
             FROM toks GROUP BY term
             HAVING count(DISTINCT doc_id) >= 5
+        """,
+        "quality_model_moments": _quality_model_moments_sql(),
+        "length_report": """
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_tokens,
+                   round(avg(n), 6) AS mean_tokens,
+                   min(n) AS min_tokens, max(n) AS max_tokens,
+                   quantile_cont(n, 0.25) AS p25,
+                   quantile_cont(n, 0.5) AS p50,
+                   quantile_cont(n, 0.75) AS p75,
+                   quantile_cont(n, 0.95) AS p95
+            FROM (
+              SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END AS n
+              FROM documents
+            )
         """,
         "inverted_index_segmented": """
             WITH d AS (

@@ -762,3 +762,50 @@ def test_inverted_index_segmented_bounds_and_reconstructs(spark):
         assert merged == expect
         assert all(r["df"] == flat[term]["df"] for r in rows)
     assert set(by_term) == set(flat)
+
+
+def test_ridge_fit_recovers_linear_relation(spark):
+    import numpy as np
+
+    from warctools_spark.operators.modeling import (
+        gram_moments,
+        linear_score,
+        ridge_fit,
+    )
+
+    # y = 2 + 3*a - b exactly; tiny l2 so recovery is near-exact
+    rows = [(a, b, 2 + 3 * a - b) for a in range(6) for b in range(6)]
+    df = spark.createDataFrame(rows, "a int, b int, y int")
+    m = ridge_fit(df, ["a", "b"], "y", l2=1e-9)
+    assert abs(m["intercept"] - 2) < 1e-5
+    assert abs(m["weights"]["a"] - 3) < 1e-6
+    assert abs(m["weights"]["b"] + 1) < 1e-6
+    # scoring expression reproduces the label
+    scored = df.withColumn("p", linear_score(m, ["a", "b"])).collect()
+    assert all(abs(r["p"] - r["y"]) < 1e-4 for r in scored)
+    # driver math agrees with a direct numpy ridge solve
+    X = np.array([[1, a, b] for a, b, _ in rows], dtype=float)
+    y = np.array([r[2] for r in rows], dtype=float)
+    reg = np.eye(3) * 1e-9
+    reg[0, 0] = 0
+    w = np.linalg.solve(X.T @ X + reg, X.T @ y)
+    assert abs(m["intercept"] - w[0]) < 1e-9
+    # one aggregate, map-side combined, no Python in the plan
+    plan = _plan(gram_moments(df, ["a", "b"], "y"))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_length_report_semantics(spark):
+    from warctools_spark.operators.text_analysis import length_report
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a b"), (2, "a b c"), (3, "a b c d"), (4, "")],
+        "doc_id long, text string",
+    )
+    r = length_report(docs).collect()[0]
+    assert r["n_docs"] == 5 and r["total_tokens"] == 10
+    assert r["min_tokens"] == 0 and r["max_tokens"] == 4
+    # interpolated percentiles over [0,1,2,3,4]
+    assert r["p50"] == 2.0 and r["p25"] == 1.0 and r["p75"] == 3.0
+    assert r["p95"] == 3.8

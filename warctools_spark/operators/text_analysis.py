@@ -663,3 +663,31 @@ def inverted_index_segmented(
             ).alias("postings"),
         )
     )
+
+
+def length_report(
+    docs: DataFrame, text_col: str = "text", exact: bool = True
+) -> DataFrame:
+    """One-row token-length distribution report (the pre-training
+    sanity check before length filtering / packing): doc count, token
+    totals, mean, min/max, and interpolated p25/p50/p75/p95.
+
+    exact=True uses SQL `percentile` (interpolated, matches DuckDB's
+    quantile_cont bit-for-bit) — it buffers the group's values in the
+    aggregation, fine up to ~10^8 docs. At larger scale pass
+    exact=False for approx_percentile (t-digest, bounded memory,
+    no SQL oracle)."""
+    n = token_count(F.col(text_col))
+    base = docs.select(n.alias("n_tokens"))
+    pct = "percentile" if exact else "approx_percentile"
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.expr(f"{pct}(n_tokens, 0.25)").alias("p25"),
+        F.expr(f"{pct}(n_tokens, 0.5)").alias("p50"),
+        F.expr(f"{pct}(n_tokens, 0.75)").alias("p75"),
+        F.expr(f"{pct}(n_tokens, 0.95)").alias("p95"),
+    )
