@@ -1230,6 +1230,21 @@ def _q_remove_duplicate_spans(spark, sf_dir):
     )
 
 
+def _q_rag_corpus(spark, sf_dir):
+    """Composed RAG pipeline: substring-dedup rewrite -> sliding-
+    window chunking of the cleaned text -> min-size chunk gate."""
+    from warctools_spark.plans.corpus import rag_corpus
+
+    return rag_corpus(
+        _docs(spark, sf_dir),
+        k=10,
+        min_span_tokens=15,
+        window=64,
+        stride=32,
+        min_chunk_tokens=8,
+    )
+
+
 def _q_length_report(spark, sf_dir):
     """Token-length distribution report (count/total/mean/min/max +
     interpolated p25/p50/p75/p95) — the pre-filtering sanity check."""
@@ -1429,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_segmented": _q_inverted_index_segmented,
         "quality_model_moments": _q_quality_model_moments,
         "length_report": _q_length_report,
+        "rag_corpus": _q_rag_corpus,
     }
 
 
@@ -3026,6 +3042,44 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id, pos) AS postings
             FROM toks GROUP BY term
             HAVING count(DISTINCT doc_id) >= 5
+        """,
+        "rag_corpus": _SPANS_CTE
+        + """
+            , tok AS (
+              SELECT doc_id, unnest(t) AS tokval,
+                     generate_subscripts(t, 1) - 1 AS p
+              FROM d
+            ),
+            kept AS (
+              SELECT tok.doc_id, tok.p, tok.tokval FROM tok
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tok.doc_id
+                  AND tok.p >= s.span_start AND tok.p < s.span_end)
+            ),
+            ct AS (
+              SELECT doc_id, list(tokval ORDER BY p) AS t2
+              FROM kept GROUP BY doc_id
+            ),
+            lim AS (
+              SELECT doc_id, t2,
+                     least(CAST(ceil(greatest(len(t2) - 64, 0) / 32.0) * 32
+                                AS BIGINT),
+                           len(t2) - 1) AS last_start
+              FROM ct WHERE len(t2) > 0
+            ),
+            st AS (
+              SELECT doc_id, t2,
+                     unnest(range(0, last_start + 1, 32)) AS s,
+                     generate_subscripts(range(0, last_start + 1, 32), 1) - 1
+                         AS chunk_id
+              FROM lim
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(s AS INT) AS tok_start,
+                   CAST(least(64, len(t2) - s) AS INT) AS n_tokens,
+                   array_to_string(t2[s+1:s+64], ' ') AS chunk
+            FROM st WHERE least(64, len(t2) - s) >= 8
         """,
         "quality_model_moments": _quality_model_moments_sql(),
         "length_report": """

@@ -809,3 +809,31 @@ def test_length_report_semantics(spark):
     # interpolated percentiles over [0,1,2,3,4]
     assert r["p50"] == 2.0 and r["p25"] == 1.0 and r["p75"] == 3.0
     assert r["p95"] == 3.8
+
+
+def test_rag_corpus_composition(spark):
+    """The composed pipeline really chains: a doc that is a pure copy
+    of an earlier doc is fully cut, so it yields no chunks; survivors
+    chunk their CLEANED text."""
+    from warctools_spark.plans.corpus import rag_corpus
+
+    passage = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, passage), (1, passage), (2, "short doc only")],
+        "doc_id long, text string",
+    )
+    rows = rag_corpus(
+        docs, k=10, min_span_tokens=15, window=16, stride=8,
+        min_chunk_tokens=2,
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 in by_doc            # first occurrence survives + chunks
+    assert 1 not in by_doc        # exact copy fully removed
+    assert by_doc[2][0]["chunk"] == "short doc only"
+    # doc 0's chunks tile the cleaned (== original) 40 tokens
+    covered = set()
+    for r in by_doc[0]:
+        covered.update(range(r["tok_start"], r["tok_start"] + r["n_tokens"]))
+    assert covered == set(range(40))

@@ -139,3 +139,38 @@ def prepare_training_corpus_v2(
         "n_segments",
         "n_kept",
     )
+
+
+def rag_corpus(
+    docs,
+    k: int = 10,
+    min_span_tokens: int = 15,
+    window: int = 64,
+    stride: int = 32,
+    min_chunk_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Composed RAG-indexing pipeline over a crawl corpus: exact
+    substring-dedup rewrite (first corpus occurrence survives, spans
+    of duplicated k-grams cut) -> sliding-window chunking of the
+    cleaned text -> drop sub-minimum tail chunks. Returns
+    (doc_id, chunk_id, tok_start, n_tokens, chunk).
+
+    Every stage is linear-shuffle (see duplicate_spans /
+    chunk_documents scale notes); composition adds no extra passes —
+    the chunker consumes the rewrite's column directly."""
+    from warctools_spark.operators.dedup import remove_duplicate_spans
+    from warctools_spark.operators.text_analysis import chunk_documents
+
+    cleaned = remove_duplicate_spans(
+        docs, k=k, min_span_tokens=min_span_tokens,
+        text_col=text_col, id_col=id_col,
+    )
+    chunks = chunk_documents(
+        cleaned, window=window, stride=stride,
+        text_col="clean_text", id_col=id_col,
+    )
+    from pyspark.sql import functions as F
+
+    return chunks.where(F.col("n_tokens") >= min_chunk_tokens)
