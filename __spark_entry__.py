@@ -937,13 +937,18 @@ def _q_events_sessionize(spark, sf_dir):
         "new_session",
         F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
     )
+    # Explicit BIGINT on both sides: DuckDB promotes windowed SUM(INTEGER)
+    # to HUGEINT, which a type-tagging driver hash normalizes differently
+    # from Spark's BIGINT even when values agree.
     return flagged.withColumn(
         "session_seq",
-        F.sum("new_session").over(
+        F.sum("new_session")
+        .over(
             Window.partitionBy("user_id")
             .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+        )
+        .cast("long"),
     ).select("event_id", "user_id", "session_seq")
 
 
@@ -1303,11 +1308,15 @@ def _q_semdedup(spark, sf_dir):
 
 
 def _q_inverted_index(spark, sf_dir):
-    """Positional inverted index (term -> ordered doc:pos postings +
-    df), restricted to terms in >= 5 docs to keep the row set lean."""
+    """FLAT positional inverted index (term -> ordered doc:pos
+    postings + df), restricted to terms in >= 5 docs. segment_size=
+    None pins the one-row-per-term variant this oracle describes; the
+    library DEFAULT (inverted_index with no args) is the skew-proof
+    segmented build, certified by the inverted_index_segmented
+    entry."""
     from warctools_spark.operators.text_analysis import inverted_index
 
-    return inverted_index(_docs(spark, sf_dir), min_df=5)
+    return inverted_index(_docs(spark, sf_dir), min_df=5, segment_size=None)
 
 
 def _q_inverted_index_segmented(spark, sf_dir):
@@ -1555,9 +1564,14 @@ _KMEANS_CTE = """
                                     x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings
             ),
+            -- clusters are numbered 0..k-1 by RANK of vec_id (not the
+            -- raw id), matching kmeans_assign's enumeration of the k
+            -- lowest-id vectors on ANY id space, contiguous or not
             c0 AS (
-              SELECT CAST(vec_id AS INT) AS cluster, v AS c
-              FROM e WHERE vec_id < 8
+              SELECT CAST(rn - 1 AS INT) AS cluster, v AS c FROM (
+                SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+                FROM e
+              ) WHERE rn <= 8
             ),
             d1 AS (
               SELECT e.vec_id, c0.cluster,
@@ -2635,10 +2649,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessionize": """
             SELECT event_id, user_id,
-                   sum(new_session) OVER (
+                   CAST(sum(new_session) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_seq
+                   ) AS BIGINT) AS session_seq
             FROM (
               SELECT event_id, user_id, ts,
                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (

@@ -163,6 +163,27 @@ def q_duplicate_spans(spark, pages_path):
     return duplicate_spans(docs, k=10, min_span_tokens=15).count()
 
 
+def q_inverted_index_segmented(spark, pages_path):
+    """Extra measurement (r03 brief #7): the skew-proof segmented
+    inverted index — the DEFAULT `inverted_index` path — over the
+    documents table, segment_size small enough that hot terms really
+    shard at bench scale."""
+    from warctools_spark.operators.text_analysis import inverted_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    return inverted_index(docs, min_df=2, segment_size=10_000).count()
+
+
+def q_remove_duplicate_spans(spark, pages_path):
+    """Extra measurement (r03 brief #7): the full substring-dedup
+    REWRITE (spans + per-doc token excision + reassembly) — the
+    heaviest composed text transform."""
+    from warctools_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    return remove_duplicate_spans(docs, k=10, min_span_tokens=15).count()
+
+
 def q_kmeans(spark, pages_path):
     """Extra measurement: deterministic Lloyd k-means assignment over
     the embeddings table (k=16, 2 iterations)."""
@@ -199,24 +220,34 @@ def main():
     # variance on a shared VM); `queries` (the headline, feeding
     # `value`) is best-of-3 — the steady-state engine throughput a
     # long-running cluster job amortizes to.
+    # per-run spread rides along (r03 brief #8) so a cross-round mover
+    # is distinguishable from shared-VM noise without a re-run: if the
+    # [min, median, max] intervals of two rounds overlap, it's noise.
     def timed(fn, *args, runs=3):
-        best = cold = None
+        times = []
         res = None
-        for i in range(runs):
+        for _ in range(runs):
             t0 = time.time()
             res = fn(spark, *args)
-            dt = time.time() - t0
-            if i == 0:
-                cold = dt
-            best = dt if best is None else min(best, dt)
-        return res, round(cold, 3), round(best, 3)
+            times.append(time.time() - t0)
+        cold = times[0]
+        # spread over the WARM runs only — the first run's JVM/codegen
+        # warmup is reported separately as `queries_cold`, not noise
+        warm = times[1:] or times
+        spread = {
+            "min": round(min(warm), 3),
+            "med": round(sorted(warm)[len(warm) // 2], 3),
+            "max": round(max(warm), 3),
+        }
+        return res, round(cold, 3), round(min(times), 3), spread
 
     timings = {}
     timings_cold = {}
+    spreads = {}
     results = {}
     for name, fn in queries.items():
-        results[name], timings_cold[name], timings[name] = timed(
-            fn, pages_path
+        results[name], timings_cold[name], timings[name], spreads[name] = (
+            timed(fn, pages_path)
         )
 
     # extra measurements: recorded but NOT in the headline total, so
@@ -227,9 +258,13 @@ def main():
         ("bloom_bucketed", q_bloom_bucketed),
         ("segment_dedup", q_segment_dedup),
         ("duplicate_spans", q_duplicate_spans),
+        ("inverted_index_segmented", q_inverted_index_segmented),
+        ("remove_duplicate_spans", q_remove_duplicate_spans),
         ("kmeans_assign", q_kmeans),
     ):
-        results[name], extra_cold[name], extra[name] = timed(fn, pages_path)
+        results[name], extra_cold[name], extra[name], spreads[name] = timed(
+            fn, pages_path
+        )
 
     from warctools_spark.sources.pages import N_LINKS
 
@@ -245,6 +280,7 @@ def main():
         "total_cold": round(sum(timings_cold.values()), 3),
         "extra_queries": extra,
         "extra_queries_cold": extra_cold,
+        "spread_warm": spreads,
         "sf": SF_DIR,
         "pages": n_pages,
         "candidate_urls": n_links,

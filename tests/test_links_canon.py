@@ -134,3 +134,65 @@ def test_canon_parts_equals_components():
 def test_url_host():
     assert url_host("http://WWW.Example.Org:8080/p") == "www.example.org"
     assert url_host("not a url") == ""
+
+
+# ---------------------------------------------------------------
+# lxml-path conformance fixtures (r03 brief #6)
+# ---------------------------------------------------------------
+
+import json
+import pathlib
+
+import pytest
+
+_FIXTURES = json.loads(
+    (pathlib.Path(__file__).parent / "fixtures" / "lxml_links_fixtures.json")
+    .read_text()
+)
+
+
+def _case_ids():
+    return [c["name"] for c in _FIXTURES["cases"]]
+
+
+@pytest.mark.parametrize(
+    "case", _FIXTURES["cases"], ids=_case_ids()
+)
+def test_fallback_matches_pinned_output(case):
+    """Our kernel must keep producing exactly the pinned fallback-path
+    output for every conformance case — drift in either direction
+    (silently gaining or losing links) changes reference parity."""
+    from warctools_spark.kernels.links import extract_links
+
+    got = sorted(set(extract_links(_FIXTURES["base"], case["html"])))
+    assert got == sorted(set(case["fallback_links"])), case["name"]
+
+
+def test_divergence_classes_enumerated():
+    """Every case where the pinned lxml output differs from ours must
+    carry an explicit divergence note (and vice versa) — the known
+    lxml-vs-fallback deltas are documented data, not surprises."""
+    for case in _FIXTURES["cases"]:
+        differs = sorted(set(case["lxml_links"])) != sorted(
+            set(case["fallback_links"])
+        )
+        assert differs == (case["divergence"] is not None), case["name"]
+
+
+def test_lxml_fixtures_match_real_lxml():
+    """Where a real lxml exists, re-derive the pinned lxml_links from
+    it (the reference's preferred path, warclinks.py:79-95) — this is
+    the off-container generation step made executable. Skipped in
+    containers without lxml (like this one)."""
+    lxml_html = pytest.importorskip("lxml.html")
+
+    for case in _FIXTURES["cases"]:
+        doc = lxml_html.fromstring(case["html"])
+        doc.make_links_absolute(_FIXTURES["base"])
+        got = sorted(
+            {
+                link if isinstance(link, str) else link.decode()
+                for _el, _attr, link, _pos in doc.iterlinks()
+            }
+        )
+        assert got == sorted(set(case["lxml_links"])), case["name"]

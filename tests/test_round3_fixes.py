@@ -290,8 +290,11 @@ def test_embedding_pairs_dims_mismatch_raises(spark):
         [(i, [float(i), 1.0, 0.0]) for i in range(6)],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(ValueError, match="dims=8 != embedding length 3"):
-        embedding_cosine_pairs(emb, threshold=0.9, dims=8)
+    # explicit dims skips the driver-side scan; the executor-side
+    # _require_dims guard fails the job on the first action instead
+    with pytest.raises(Exception) as ei:
+        embedding_cosine_pairs(emb, threshold=0.9, dims=8).collect()
+    assert "not 8-dimensional" in str(ei.value)
     # dims=None derives from the data and works
     out = embedding_cosine_pairs(emb, threshold=0.99, dims=None)
     assert out.count() > 0
@@ -589,18 +592,21 @@ def test_duplicate_spans_within_one_doc(spark):
 
 
 def test_ragged_embedding_fails_job_not_silently(spark):
-    """A wrong-length vector past the first row must FAIL the job
-    (raise_error guard), not silently collapse into a zero bucket."""
-    from py4j.protocol import Py4JJavaError
-
+    """A wrong-length vector anywhere in the data must FAIL the job,
+    not silently collapse into a zero bucket. dims=None now derives
+    via an order-independent min/max aggregate (r03 ADVICE), so a
+    ragged column raises the same ValueError at ANY partition order;
+    with explicit dims the executor-side raise_error guard fires."""
     from warctools_spark.operators.dedup import embedding_cosine_pairs
 
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [1.0, 0.0])],
         "vec_id long, embedding array<double>",
     )
+    with pytest.raises(ValueError, match="ragged embedding column"):
+        embedding_cosine_pairs(emb, threshold=0.5, dims=None)
     with pytest.raises(Exception) as ei:
-        embedding_cosine_pairs(emb, threshold=0.5, dims=None).collect()
+        embedding_cosine_pairs(emb, threshold=0.5, dims=3).collect()
     assert "not 3-dimensional" in str(ei.value)
 
 

@@ -1,0 +1,244 @@
+"""Round-4 fixes (VERDICT r03 brief):
+
+#2 Bloom filter persisted through the catalog — resume restores the
+   (bucket, bits) table instead of paying the O(|seen|) rebuild.
+#4 pages canonical key computed once per crawl, not once per epoch.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from warctools_spark.operators import seen as SEEN
+from warctools_spark.plans import epoch as epoch_mod
+from warctools_spark.plans.catalog import Catalog
+from warctools_spark.plans.epoch import (
+    restore_bloom,
+    resume_state,
+    run_crawl,
+)
+from warctools_spark.sources.pages import synthesize_pages, url_for
+
+K = 4
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synthesize_pages(spark, SF_DIR).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def seed_df(spark):
+    urls = [url_for(i) for i in range(0, 50, 7)]
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_bloom_persisted_and_restored(spark, pages, seed_df, tmp_path):
+    """A resumed crawl restores the committed filter table: build_bloom
+    is never called over the full seen set again — only per-epoch
+    deltas — and crawl results are identical to an uninterrupted run."""
+    cat = Catalog(str(tmp_path / "cat"), n_buckets=8)
+    run_crawl(
+        spark, pages, seed_df, epochs=2, k_per_host=K,
+        catalog=cat, use_bloom=True,
+    )
+    manifest = cat.read_manifest(1)
+    assert any(t["table"] == "bloom" for t in manifest["tables"])
+
+    # the persisted filter must match the params run_crawl derives
+    m_bits, k_hashes = SEEN.optimal_params(1 << 16, 0.01)
+    restored = restore_bloom(spark, cat, m_bits, k_hashes, 32)
+    assert restored is not None
+
+    # simulate a NEW driver process resuming: count build_bloom calls
+    e, queue, seen = resume_state(spark, cat)
+    calls = []
+    orig = SEEN.build_bloom
+
+    def counting_build(df, **kw):
+        calls.append(df)
+        return orig(df, **kw)
+
+    epoch_mod.SEEN.build_bloom = counting_build
+    try:
+        metrics = run_crawl(
+            spark, pages, seed_df, epochs=1, k_per_host=K,
+            catalog=cat, use_bloom=True,
+            start_epoch=e + 1, initial_state=(queue, seen),
+        )
+    finally:
+        epoch_mod.SEEN.build_bloom = orig
+    # exactly ONE build_bloom call — the epoch-2 fresh-key delta; the
+    # initial filter came from restore_bloom, so the seen set was
+    # never re-scanned for a rebuild
+    assert len(calls) == 1
+    assert calls[0].columns == ["url_sha1"]
+
+    # the resumed epoch must equal epoch 2 of an uninterrupted run
+    cat_full = Catalog(str(tmp_path / "full"), n_buckets=8)
+    metrics_full = run_crawl(
+        spark, pages, seed_df, epochs=3, k_per_host=K,
+        catalog=cat_full, use_bloom=True,
+    )
+    assert metrics[0]["scheduled"] == metrics_full[2]["scheduled"]
+    assert metrics[0]["seen_size"] == metrics_full[2]["seen_size"]
+    sched_a = sorted(
+        r["canon_url"]
+        for r in cat.read_table(spark, "schedule", 2)
+        .select("canon_url").collect()
+    )
+    sched_b = sorted(
+        r["canon_url"]
+        for r in cat_full.read_table(spark, "schedule", 2)
+        .select("canon_url").collect()
+    )
+    assert sched_a == sched_b
+
+
+def test_bloom_restore_rejects_mismatched_params(spark, pages, seed_df, tmp_path):
+    """Param drift (different m/k, i.e. capacity or fpr changed between
+    runs) must force a rebuild, not a silent wrong-filter probe."""
+    cat = Catalog(str(tmp_path / "cat"), n_buckets=8)
+    run_crawl(
+        spark, pages, seed_df, epochs=1, k_per_host=K,
+        catalog=cat, use_bloom=True,
+    )
+    m_bits, k_hashes = SEEN.optimal_params(1 << 16, 0.01)
+    assert restore_bloom(spark, cat, m_bits, k_hashes, 32) is not None
+    assert restore_bloom(spark, cat, m_bits + 8, k_hashes, 32) is None
+    assert restore_bloom(spark, cat, m_bits, k_hashes + 1, 32) is None
+    assert restore_bloom(spark, cat, m_bits, k_hashes, 16) is None
+    # catalog without bloom table (use_bloom=False run) -> None
+    cat2 = Catalog(str(tmp_path / "nobloom"), n_buckets=8)
+    run_crawl(spark, pages, seed_df, epochs=1, k_per_host=K, catalog=cat2)
+    assert restore_bloom(spark, cat2, m_bits, k_hashes, 32) is None
+
+
+def test_apply_robots_dedupes_duplicate_hosts(spark):
+    """One-row-per-host contract (r03 ADVICE): a malformed robots
+    table with duplicate host rows must not fan out frontier URLs —
+    downstream seen-delta compaction unions WITHOUT distinct on the
+    disjointness invariant. Survivor pick is deterministic
+    (min-over-struct), not partition-order dependent."""
+    from warctools_spark.operators.robots import apply_robots
+
+    frontier = spark.createDataFrame(
+        [("h1", "http://a.example.com/x", "a", 0)],
+        "host string, canon_url string, url_sha1 string, depth int",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h1", 100, ["/x"], ["/x"], []),
+            ("h1", 200, [], [], []),
+        ],
+        "host string, crawl_delay_ms int, disallow array<string>, "
+        "allow array<string>, sitemaps array<string>",
+    )
+    out = apply_robots(frontier, robots)
+    assert out.count() == 1  # no fan-out
+    # deterministic survivor: the min struct (crawl_delay_ms=100)
+    assert out.collect()[0]["crawl_delay_ms"] == 100
+    rev = apply_robots(
+        frontier, robots.orderBy(F.desc("crawl_delay_ms")).repartition(4)
+    )
+    assert rev.collect()[0]["crawl_delay_ms"] == 100
+
+
+def test_inverted_index_default_is_skew_proof(spark):
+    """r03 brief #3: the short name auto-segments. A synthetic
+    stopword corpus ('the' in every doc, many times) must produce
+    bounded per-group posting counts through the DEFAULT entry point —
+    never the whole hot term in one aggregation buffer."""
+    from warctools_spark.operators.text_analysis import (
+        inverted_index,
+        inverted_index_flat,
+        inverted_index_segmented,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the alpha the beta the gamma the " + f"w{i}")
+         for i in range(100)],
+        "doc_id long, text string",
+    )
+    seg_rows = inverted_index(docs, segment_size=40).collect()
+    hot = [r for r in seg_rows if r["term"] == "the"]
+    assert len(hot) > 1  # the stopword really split
+    assert all(r["n_postings"] <= 3 * 40 for r in hot)
+    assert sum(r["n_postings"] for r in hot) == 400
+    # default delegates exactly to the segmented implementation
+    a = sorted(map(tuple, seg_rows))
+    b = sorted(
+        map(tuple, inverted_index_segmented(docs, segment_size=40).collect())
+    )
+    assert a == b
+    # segment_size=None pins the flat one-row-per-term contract
+    flat = {r["term"]: r for r in
+            inverted_index(docs, segment_size=None).collect()}
+    assert flat["the"]["n_postings"] == 400
+    assert "segment" not in inverted_index_flat(docs).columns
+
+
+def test_pages_canonicalized_once_per_crawl(spark, pages, seed_df, tmp_path):
+    """run_crawl keys the pages corpus exactly once regardless of epoch
+    count (r03 brief #4)."""
+    calls = []
+    orig = epoch_mod.key_pages
+
+    def counting_key_pages(df):
+        calls.append(1)
+        return orig(df)
+
+    epoch_mod.key_pages = counting_key_pages
+    try:
+        run_crawl(spark, pages, seed_df, epochs=3, k_per_host=K)
+    finally:
+        epoch_mod.key_pages = orig
+    assert len(calls) == 1
+
+
+def test_wav_audio_codec_real_path(spark):
+    """r03 brief #9: the audio seam's real-codec arm — RIFF/WAVE via
+    the stdlib wave module (always present, unlike Pillow), exercised
+    end-to-end through audio_features."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from warctools_spark.operators.multimodal import (
+        _decode_real_audio,
+        audio_features,
+    )
+
+    rate, n = 8000, 800
+    pcm = b"".join(
+        struct.pack("<h", int(20000 * math.sin(2 * math.pi * 440 * i / rate)))
+        for i in range(n)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm)
+    blob = buf.getvalue()
+
+    dec = _decode_real_audio(blob)
+    assert dec["sample_rate"] == rate
+    assert dec["n_channels"] == 1
+    assert dec["pcm"] == pcm
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(blob))],
+        "media_id long, kind string, blob binary",
+    )
+    row = audio_features(media).collect()[0]
+    assert row["sample_rate"] == rate
+    assert row["n_samples"] == n
+    assert abs(row["duration_s"] - n / rate) < 1e-9
+    assert 0.3 < row["rms"] < 0.5  # sine RMS = peak/sqrt(2) ~ 0.43
+    # compressed formats still raise the documented seam error
+    with pytest.raises(NotImplementedError):
+        _decode_real_audio(b"\xff\xfb\x90\x00 not a wav")

@@ -358,24 +358,30 @@ def _resolve_dims(emb: DataFrame, vec_col: str, dims: int | None) -> int:
     """dims MUST equal the real embedding length: zip_with against a
     shorter/longer literal coefficient array pads with null, every dot
     goes null, and all vectors silently collapse into one all-zeros
-    bucket per band. None → derive from the first row; an explicit
-    mismatch raises instead of destroying recall. A null first vector
-    raises too (any dims claim would be unverifiable)."""
-    row = emb.select(F.size(F.col(vec_col)).alias("n")).first()
-    if row is None:  # empty input: any dims works
-        return dims if dims is not None else 1
-    if row["n"] is None or int(row["n"]) < 0:
+    bucket per band. None → derive via an order-INDEPENDENT aggregate
+    (min/max of size, null-counted) so the derived dims — and which
+    rows _require_dims later rejects — never depend on partition
+    iteration order; ragged or null-bearing inputs raise
+    deterministically instead of destroying recall. An explicit dims
+    skips the scan entirely: _require_dims enforces it executor-side,
+    so the driver never pays an aggregate over a 100 TB table just to
+    re-check a declared value."""
+    if dims is not None:
+        return dims
+    row = emb.agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if row["lo"] is None:  # empty input / all-null column: any dims
+        return 1
+    if row["lo"] != row["hi"]:
         raise ValueError(
-            f"first row of column {vec_col!r} is NULL; cannot derive or "
-            "verify embedding dims — drop null vectors first"
+            f"ragged embedding column {vec_col!r}: sizes range "
+            f"{row['lo']}..{row['hi']}; filter to one dimensionality first"
         )
-    actual = int(row["n"])
-    if dims is not None and dims != actual:
-        raise ValueError(
-            f"dims={dims} != embedding length {actual} in column "
-            f"{vec_col!r}; pass dims={actual} or dims=None to derive it"
-        )
-    return actual
+    # null vectors (min/max ignore them) are rejected deterministically
+    # row-by-row in _require_dims — every null row, at any parallelism
+    return int(row["lo"])
 
 
 def _require_dims(df: DataFrame, vec_col: str, dims: int) -> DataFrame:

@@ -248,11 +248,39 @@ def _decode_aud1(blob: bytes) -> dict:
     return {"sample_rate": rate, "pcm": blob[8:]}
 
 
+def _decode_wav(blob: bytes) -> dict:
+    """RIFF/WAVE decode via the stdlib `wave` module (r03 brief #9) —
+    the real-codec arm of the audio seam, mirroring the Pillow image
+    path: no external dependency, PCM WAV only. Multi-channel audio is
+    downmixed by interleaved s16 pass-through (callers see the raw
+    frame bytes; sample_rate and n_channels carry the layout)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"only 16-bit PCM WAV supported (got sampwidth="
+                f"{w.getsampwidth()})"
+            )
+        return {
+            "sample_rate": w.getframerate(),
+            "n_channels": w.getnchannels(),
+            "pcm": w.readframes(w.getnframes()),
+        }
+
+
 def _decode_real_audio(blob: bytes) -> dict:
+    """Audio codec dispatch: RIFF/WAVE decodes via the stdlib `wave`
+    module; compressed formats (mp3/flac/ogg) stay behind the
+    documented seam — register_codec('audio', fn) with a
+    soundfile/ffmpeg-backed decoder in production."""
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return _decode_wav(blob)
     raise NotImplementedError(
-        "real audio codecs (wav/mp3/flac) are not available in this "
-        "container; register_codec('audio', fn) with a soundfile-backed "
-        "decoder in production"
+        "compressed audio codecs (mp3/flac/ogg) are not available in "
+        "this container; register_codec('audio', fn) with a "
+        "soundfile-backed decoder in production"
     )
 
 

@@ -62,10 +62,27 @@ def parse_robots_table(raw: DataFrame) -> DataFrame:
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Broadcast-join robots rules onto the frontier and keep allowed
     URLs. Longest-prefix-match with Allow >= Disallow on ties, all in
-    JVM expressions."""
+    JVM expressions.
+
+    CONTRACT: one robots row per host. The left join would otherwise
+    fan every frontier URL out once per duplicate row — and downstream
+    epoch compaction unions seen deltas WITHOUT distinct on the
+    invariant that deltas are pairwise-disjoint (plans/epoch.py), so a
+    duplicated host here would corrupt the seen set. Enforced with a
+    DETERMINISTIC min-over-struct pick per host (not dropDuplicates,
+    whose survivor depends on partition order) — robots tables are
+    host-keyed, so duplicates only arise from a malformed upstream
+    fetch and any consistent pick is acceptable; the table is
+    broadcast-small, so the extra agg is negligible."""
+    rule_cols = [c for c in robots.columns if c != "host"]
+    robots_one = (
+        robots.groupBy("host")
+        .agg(F.min(F.struct(*rule_cols)).alias("__r"))
+        .select("host", "__r.*")
+    )
     path = F.parse_url(F.col("canon_url"), F.lit("PATH"))
     joined = frontier.withColumn("path", F.coalesce(path, F.lit("/"))).join(
-        F.broadcast(robots), on="host", how="left"
+        F.broadcast(robots_one), on="host", how="left"
     )
     best_len = lambda arr: F.coalesce(  # noqa: E731
         F.array_max(

@@ -403,9 +403,37 @@ def inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_df: int = 1,
+    segment_size: int | None = 100_000,
 ) -> DataFrame:
-    """Positional inverted index over the corpus: one row per term
-    with its ordered posting list "doc:pos,doc:pos,..." and document
+    """Positional inverted index — DEFAULT entry point is the
+    skew-proof segmented build (r03 brief #3): a stopword-grade term
+    whose postings exceed `segment_size` splits into (term, segment)
+    rows, so no single term can serialize one aggregation task with a
+    10^9-entry posting list at 100 TB. Pass segment_size=None for the
+    flat one-row-per-term variant (inverted_index_flat) when the
+    corpus is known small or a single-row-per-term contract is
+    required."""
+    if segment_size is None:
+        return inverted_index_flat(
+            docs, text_col=text_col, id_col=id_col, min_df=min_df
+        )
+    return inverted_index_segmented(
+        docs,
+        segment_size=segment_size,
+        text_col=text_col,
+        id_col=id_col,
+        min_df=min_df,
+    )
+
+
+def inverted_index_flat(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Flat positional inverted index: one row per term with its
+    ordered posting list "doc:pos,doc:pos,..." and document
     frequency — the search-index build step over a crawl.
 
     Plan shape: posexplode (token positions) -> one hash agg per term
@@ -413,10 +441,11 @@ def inverted_index(
     aggregate expression (sort_array over collected structs), so the
     output is deterministic at any parallelism. Postings serialize as
     a string so the oracle comparison is engine-neutral. At 100 TB the
-    shuffle carries (term, doc, pos) triples once; per-term skew
-    (stopwords) is bounded by min_df pre-filtering downstream or by
-    segmenting the posting list per (term, doc-range) if a single
-    term's postings outgrow a task."""
+    shuffle carries (term, doc, pos) triples once — but per-term skew
+    (stopwords) lands a whole posting list in ONE aggregation buffer,
+    which is why the segmented build is the default `inverted_index`
+    entry point; this variant is for small corpora or strict
+    one-row-per-term consumers."""
     toks = docs.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),

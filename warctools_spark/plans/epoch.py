@@ -83,6 +83,7 @@ def run_epoch(
     materialize: bool = True,
     full_metrics: bool = False,
     bloom: DataFrame | None = None,
+    pages_keyed: DataFrame | None = None,
 ) -> EpochResult:
     """One frontier epoch. With materialize=True (default) the output
     state is localCheckpoint()ed: epoch N+1 starts from materialized
@@ -113,11 +114,11 @@ def run_epoch(
 
     # 2. simulated fetch: join the scheduled urls to the pages corpus.
     # pages is keyed by raw url; canonical keys make the join exact.
-    pages_keyed = pages.select(
-        udf_canonicalize_url(F.col("url")).alias("canon_url"),
-        F.col("url").alias("page_url"),
-        "html",
-    )
+    # A caller (run_crawl) can pass pages_keyed precomputed ONCE per
+    # crawl — re-canonicalizing the full corpus every epoch is an
+    # O(|pages|) Arrow pass that multiplies by epoch count at 100 TB.
+    if pages_keyed is None:
+        pages_keyed = key_pages(pages)
     fetched = schedule.join(pages_keyed, on="canon_url", how="inner")
 
     # 3. harvest + canonicalize (fused single Arrow pass), depth+1
@@ -209,6 +210,62 @@ def partition_lineage(df: DataFrame) -> list[dict]:
     return [{"partition_id": r["partition_id"], "rows": r["rows"]} for r in rows]
 
 
+def key_pages(pages: DataFrame) -> DataFrame:
+    """Canonical-key projection of the pages corpus for the fetch
+    join. Hoisted out of run_epoch so a multi-epoch crawl pays the
+    canonicalize pass once, not once per epoch."""
+    return pages.select(
+        udf_canonicalize_url(F.col("url")).alias("canon_url"),
+        F.col("url").alias("page_url"),
+        "html",
+    )
+
+
+def restore_bloom(
+    spark: SparkSession,
+    catalog: Catalog,
+    m_bits: int,
+    k_hashes: int,
+    n_buckets: int,
+) -> DataFrame | None:
+    """Restore the persisted Bloom table from the latest snapshot if
+    its parameters match; None -> caller rebuilds from the seen set.
+
+    The filter table is only n_buckets rows (~m_bits/8 bytes each), so
+    persisting it per epoch is ~MBs while the rebuild it saves is an
+    O(|seen|) scan — at 10^10 keys that is the difference between a
+    sub-second resume and re-hashing the whole crawl history."""
+    e = catalog.latest_epoch()
+    if e is None:
+        return None
+    manifest = catalog.read_manifest(e)
+    entry = next(
+        (t for t in manifest.get("tables", []) if t.get("table") == "bloom"),
+        None,
+    )
+    if entry is None:
+        return None
+    # bucket scheme must match: the probe joins on
+    # pmod(xxhash64(key), n_buckets), so a filter built under a
+    # different bucket count would silently probe the wrong bitsets
+    if entry.get("bloom_n_buckets") != n_buckets:
+        return None
+    # read the path directly: read_table drops `bucket` as a physical
+    # partition column, but for the filter table it IS the schema key
+    bloom = spark.read.parquet(catalog.table_path("bloom", e))
+    head = bloom.limit(1).collect()
+    if not head:
+        return None
+    row = head[0]
+    if (
+        row["m"] != m_bits
+        or row["k"] != k_hashes
+        or row["version"] != SEEN.HASH_SCHEME_VERSION
+    ):
+        return None
+    return bloom
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -254,12 +311,27 @@ def run_crawl(
         m_bits, k_hashes = SEEN.optimal_params(
             bloom_capacity_per_bucket, bloom_fpr
         )
-        bloom = SEEN.build_bloom(
-            seen,
-            n_buckets=bloom_n_buckets,
-            m_bits=m_bits,
-            k_hashes=k_hashes,
-        ).localCheckpoint(eager=True)
+        # Resume path: the filter table is checkpointed per epoch, so a
+        # new driver process restores it in O(n_buckets) instead of
+        # paying the O(|seen|) rebuild. Falls back to rebuild when
+        # absent or when (m, k, version) mismatch the requested params.
+        if catalog is not None:
+            bloom = restore_bloom(
+                spark, catalog, m_bits, k_hashes, bloom_n_buckets
+            )
+        if bloom is None:
+            bloom = SEEN.build_bloom(
+                seen,
+                n_buckets=bloom_n_buckets,
+                m_bits=m_bits,
+                k_hashes=k_hashes,
+            )
+        bloom = bloom.localCheckpoint(eager=True)
+    # One canonicalize pass per CRAWL, not per epoch. MEMORY_AND_DISK
+    # checkpoint spills the html column; at true 100 TB corpus scale
+    # write this projection as a bucketed catalog table instead (same
+    # seam, catalog.write_bucketed_table) — the join plan is identical.
+    pages_keyed = key_pages(pages).localCheckpoint(eager=True)
     all_metrics = []
     for e in range(start_epoch, start_epoch + epochs):
         result = run_epoch(
@@ -274,6 +346,7 @@ def run_crawl(
             hot_host_threshold=hot_host_threshold,
             n_buckets=bloom_n_buckets,
             bloom=bloom,
+            pages_keyed=pages_keyed,
         )
         if use_bloom:
             delta_bloom = SEEN.build_bloom(
@@ -297,6 +370,18 @@ def run_crawl(
                 catalog.write_table(queue, "queue", e),
                 catalog.write_table(delta, "seen_delta", e, bucket_col=None),
             ]
+            if use_bloom:
+                # n_buckets rows, ~m/8 bytes each — persisting the
+                # filter costs MBs per snapshot and lets resume skip
+                # the O(|seen|) rebuild entirely (restore_bloom).
+                tables.append(
+                    {
+                        **catalog.write_table(
+                            bloom, "bloom", e, bucket_col=None
+                        ),
+                        "bloom_n_buckets": bloom_n_buckets,
+                    }
+                )
             compacted = (e + 1) % compact_every == 0
             # seen parts for this epoch = previous parts + this delta,
             # or a fresh base after compaction
