@@ -1349,81 +1349,43 @@ def _q_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(_docs(spark, sf_dir), k=3)
 
 
+def _q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) — pure
+    map-side hash-interval expression, so a re-computed partition can
+    never move an example between train and test."""
+    from warctools_spark.operators.sampling import split_assign
+
+    return split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def _q_bpe_pair_counts(spark, sf_dir):
+    """Top-200 adjacent-character-pair counts inside words — the
+    counting step of a BPE tokenizer-training merge round."""
+    from warctools_spark.operators.text_analysis import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_n=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the round driver records correctness for
-    # the FIRST 50 entries only. Rounds 1-2 certified the original
-    # head-50 (all green in CORRECTNESS_r02.json); this round rotates
-    # the 18 entries the driver had never seen (the old tail — the
-    # frontier/tpch/LSH/cluster family plus the rows-only checks) to
-    # the front so every query has a driver-green row on record. The
-    # 18 entries now past the window are exactly the ones certified
-    # green by the driver in round 2 and re-verified locally each
-    # round via tools/check_oracles.py.
+    # the FIRST 50 entries only. Round-4 window discipline (r03 brief
+    # #5): lead with everything whose semantics or oracle changed this
+    # round plus the new entries, then rotate in the 32 entries whose
+    # only driver certification is CORRECTNESS_r02 — after this round
+    # the r03+r04 union covers all 83 queries with nothing certified
+    # only by r02. The tail is entirely r03-certified, unchanged since,
+    # and re-verified locally each round via tools/check_oracles.py.
     return {
-        # --- never driver-checked before round 3 ---
-        "events_sessionize": _q_events_sessionize,
-        "events_hourly": _q_events_hourly,
-        "frontier_epoch": _q_frontier_epoch,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3ish": _q_tpch_q3ish,
-        "tpch_q5ish": _q_tpch_q5ish,
-        "lsh_topk": _q_lsh_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "lsh_band_buckets": _q_lsh_band_buckets,
-        "hyperplane_bands": _q_hyperplane_bands,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_survivors": _q_dedup_survivors,
-        "training_corpus": _q_training_corpus,
-        "image_features": _q_image_features,
-        "unpack_paths": _q_unpack_paths,
-        "cuckoo_dedup": _q_cuckoo_dedup,
-        "bloom_dedup": _q_bloom_dedup,
-        # --- new in round 3, never driver-checked: in-window so
-        # CORRECTNESS_r03 certifies them on first exposure ---
-        "tfidf_keywords": _q_tfidf_keywords,
-        "inverted_index": _q_inverted_index,
-        "unigram_logprob": _q_unigram_logprob,
-        "kmeans_assign": _q_kmeans,
-        "semdedup": _q_semdedup,
-        "duplicate_spans": _q_duplicate_spans,
-        "remove_duplicate_spans": _q_remove_duplicate_spans,
-        # --- new in round 3 late-stage, never driver-checked: kept
-        # in-window so CORRECTNESS_r03 certifies them too ---
-        "chunk_documents": _q_chunk_documents,
-        "corpus_drift": _q_corpus_drift,
-        "inverted_index_segmented": _q_inverted_index_segmented,
-        "quality_model_moments": _q_quality_model_moments,
-        "length_report": _q_length_report,
-        "rag_corpus": _q_rag_corpus,
-        # --- core surface (driver-green in r02, kept in-window) ---
-        "page_index": _q_page_index,
-        "filter_url": _q_filter_url,
-        "filter_body": _q_filter_body,
-        "extract_text": _q_extract_text,
-        "http_decode": _q_http_decode,
-        "harvest_links": _q_harvest_links,
-        "frontier_candidates": _q_frontier_candidates,
-        "politeness_topk": _q_politeness_topk,
-        "politeness_budgeted": _q_politeness_budgeted,
-        "host_agg": _q_host_agg,
-        "seen_antijoin": _q_seen_antijoin,
-        "dedup_exact": _q_dedup_exact,
-        "minhash_signature": _q_minhash,
-        "ngram_jaccard": _q_jaccard,
-        "simhash": _q_simhash,
-        "training_corpus_v2": _q_training_corpus_v2,
-        "pack_sequences": _q_pack_sequences,
-        # anchor_texts changed extraction semantics in round 3 (whole-
-        # element regex), so its r02 certification is stale — it stays
-        # in-window for fresh driver certification
-        "anchor_texts": _q_anchor_texts,
-        # --- past the driver's 50-entry window: every entry below was
-        # certified green by the driver in CORRECTNESS_r02.json (and
-        # has not changed since), re-verified locally each round via
-        # tools/check_oracles.py (same gate, same sf). With every
-        # never-checked entry in-window above, the r02+r03 union
-        # certifies all 81 registered queries. ---
+        # --- changed in round 4: re-certify first ---
+        "events_sessionize": _q_events_sessionize,  # BIGINT cast fix
+        "kmeans_assign": _q_kmeans,  # oracle re-pinned to rank-of-id
+        "semdedup": _q_semdedup,  # shares the kmeans CTE
+        "inverted_index": _q_inverted_index,  # segment_size=None pin
+        # --- new in round 4, never driver-checked ---
+        "split_assign": _q_split_assign,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        # --- certified only by r02: rotate in so no entry's newest
+        # certification is older than 2 rounds ---
         "token_frequencies": _q_token_frequencies,
         "decontaminate": _q_decontaminate,
         "repetition_features": _q_repetition,
@@ -1456,6 +1418,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_frequencies": _q_bigram_frequencies,
         "sitemap_seeds": _q_sitemap_seeds,
         "wet_records": _q_wet_records,
+        # --- r03-certified refreshers filling the window to 50 (the
+        # flagship + heaviest plans, so regressions surface earliest)
+        "frontier_epoch": _q_frontier_epoch,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "tpch_q1": _q_tpch_q1,
+        "http_decode": _q_http_decode,
+        "harvest_links": _q_harvest_links,
+        "extract_text": _q_extract_text,
+        "dedup_clusters": _q_dedup_clusters,
+        "duplicate_spans": _q_duplicate_spans,
+        "remove_duplicate_spans": _q_remove_duplicate_spans,
+        "training_corpus": _q_training_corpus,
+        "rag_corpus": _q_rag_corpus,
+        "pack_sequences": _q_pack_sequences,
+        # --- past the driver's 50-entry window: every entry below is
+        # driver-green in CORRECTNESS_r03.json, unchanged since, and
+        # re-verified locally each round via tools/check_oracles.py ---
+        "events_hourly": _q_events_hourly,
+        "tpch_q3ish": _q_tpch_q3ish,
+        "tpch_q5ish": _q_tpch_q5ish,
+        "lsh_topk": _q_lsh_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "lsh_band_buckets": _q_lsh_band_buckets,
+        "hyperplane_bands": _q_hyperplane_bands,
+        "dedup_survivors": _q_dedup_survivors,
+        "image_features": _q_image_features,
+        "unpack_paths": _q_unpack_paths,
+        "cuckoo_dedup": _q_cuckoo_dedup,
+        "bloom_dedup": _q_bloom_dedup,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "unigram_logprob": _q_unigram_logprob,
+        "chunk_documents": _q_chunk_documents,
+        "corpus_drift": _q_corpus_drift,
+        "inverted_index_segmented": _q_inverted_index_segmented,
+        "quality_model_moments": _q_quality_model_moments,
+        "length_report": _q_length_report,
+        "page_index": _q_page_index,
+        "filter_url": _q_filter_url,
+        "filter_body": _q_filter_body,
+        "frontier_candidates": _q_frontier_candidates,
+        "politeness_topk": _q_politeness_topk,
+        "politeness_budgeted": _q_politeness_budgeted,
+        "host_agg": _q_host_agg,
+        "seen_antijoin": _q_seen_antijoin,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signature": _q_minhash,
+        "ngram_jaccard": _q_jaccard,
+        "simhash": _q_simhash,
+        "training_corpus_v2": _q_training_corpus_v2,
+        "anchor_texts": _q_anchor_texts,
     }
 
 
@@ -2439,6 +2451,33 @@ def oracle_sql() -> dict[str, str]:
                      {_MIX_FRAC_SQL} AS f
               FROM documents
             ) WHERE u < f
+        """,
+        "split_assign": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.05 THEN 'test'
+                        WHEN u < 0.95 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM (
+              SELECT doc_id,
+                     (CAST(('0x' || substr(md5('split-v1:'
+                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % 1000000) / 1000000.0 AS u
+              FROM documents
+            )
+        """,
+        "bpe_pair_counts": """
+            SELECT pair, count(*) AS n FROM (
+              SELECT unnest(list_transform(range(1, length(w)),
+                            i -> substr(w, i, 2))) AS pair
+              FROM (
+                SELECT unnest(regexp_split_to_array(trim(text),
+                                                    '\\s+')) AS w
+                FROM documents
+              ) WHERE length(w) >= 2
+            )
+            GROUP BY pair
+            ORDER BY n DESC, pair ASC
+            LIMIT 200
         """,
         "fixed_n_sample": """
             SELECT doc_id, source FROM (

@@ -242,3 +242,36 @@ def test_wav_audio_codec_real_path(spark):
     # compressed formats still raise the documented seam error
     with pytest.raises(NotImplementedError):
         _decode_real_audio(b"\xff\xfb\x90\x00 not a wav")
+
+
+def test_split_assign_deterministic_and_partition_invariant(spark):
+    from warctools_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {r["doc_id"]: r["split"]
+         for r in split_assign(docs).select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_assign(docs.repartition(16))
+         .select("doc_id", "split").collect()}
+    assert a == b  # re-computation can never move a doc across splits
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.8 < frac_train < 0.98
+    # custom weights normalize; single split degenerates cleanly
+    only = split_assign(docs, weights={"all": 2.0}).select("split").distinct()
+    assert [r["split"] for r in only.collect()] == ["all"]
+
+
+def test_bpe_pair_counts_semantics(spark):
+    from warctools_spark.operators.text_analysis import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(0, "abab ab"), (1, "x abab")], "doc_id long, text string"
+    )
+    # 'abab' x2 -> pairs ab,ba,ab each; 'ab' -> ab; 'x' skipped (<2)
+    rows = {r["pair"]: r["n"] for r in bpe_pair_counts(docs).collect()}
+    assert rows == {"ab": 5, "ba": 2}
+    # deterministic tiebreak: count desc, then pair asc
+    ordered = [r["pair"] for r in bpe_pair_counts(docs, top_n=1).collect()]
+    assert ordered == ["ab"]

@@ -121,3 +121,35 @@ def skew_report(
             F.col("n") / (F.col("total_rows") / F.col("n_keys")), 6
         ).alias("max_over_uniform"),
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    seed: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in the
+    split whose cumulative-weight interval contains hash_unit(seed,
+    id). Pure map-side expression — no shuffle, no sampling variance,
+    identical at any parallelism and on any re-run (the property a
+    100 TB corpus split MUST have: re-computing a lost partition
+    cannot reshuffle examples between train and test). Weights are
+    normalized; interval edges follow sorted split names so the
+    assignment is independent of dict order."""
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    expr = None
+    cum = 0.0
+    u = hash_unit(F.col(id_col), seed)
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.withColumn("split", expr)

@@ -720,3 +720,37 @@ def length_report(
         F.expr(f"{pct}(n_tokens, 0.75)").alias("p75"),
         F.expr(f"{pct}(n_tokens, 0.95)").alias("p95"),
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_n: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies inside
+    whitespace words — the counting step of one BPE tokenizer-training
+    merge round (the pair with the top count is the next merge).
+
+    Plan: tokens -> explode words -> overlapping 2-char substrings via
+    a map-side transform(sequence) (no join, no UDF) -> one global
+    hash agg with map-side partial combine -> TakeOrderedAndProject
+    top_n. The shuffle carries (pair, partial_count) rows — vocab-
+    sized, not corpus-sized — so the plan is a linear scan at 100 TB.
+    Deterministic order: count desc, pair asc."""
+    words = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_n)
+    )
