@@ -1366,6 +1366,15 @@ def _q_bpe_pair_counts(spark, sf_dir):
     return bpe_pair_counts(_docs(spark, sf_dir), top_n=200)
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (MOSS algorithm): per-window min k-gram
+    hash with rightmost tie-break — every shared substring of length
+    >= k+w-1 is guaranteed a shared fingerprint."""
+    from warctools_spark.operators.text_analysis import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the round driver records correctness for
     # the FIRST 50 entries only. Round-4 window discipline (r03 brief
@@ -1384,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4, never driver-checked ---
         "split_assign": _q_split_assign,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         # --- certified only by r02: rotate in so no entry's newest
         # certification is older than 2 rounds ---
         "token_frequencies": _q_token_frequencies,
@@ -1431,7 +1441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": _q_remove_duplicate_spans,
         "training_corpus": _q_training_corpus,
         "rag_corpus": _q_rag_corpus,
-        "pack_sequences": _q_pack_sequences,
         # --- past the driver's 50-entry window: every entry below is
         # driver-green in CORRECTNESS_r03.json, unchanged since, and
         # re-verified locally each round via tools/check_oracles.py ---
@@ -1468,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "training_corpus_v2": _q_training_corpus_v2,
         "anchor_texts": _q_anchor_texts,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -2451,6 +2461,38 @@ def oracle_sql() -> dict[str, str]:
                      {_MIX_FRAC_SQL} AS f
               FROM documents
             ) WHERE u < f
+        """,
+        "winnow_fingerprints": """
+            WITH d AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                         AS s
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(s) - 8 + 2),
+                       i -> {'h': md5(substr(s, i, 8)),
+                             'negpos': -i}) AS grams
+              FROM d WHERE length(s) >= 8
+            ),
+            -- per-window struct min = (hash, rightmost pos); encoded
+            -- as 'h:pos' strings because list_distinct over structs
+            -- is unsupported
+            sel AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       list_transform(
+                         range(1, greatest(len(grams) - 3, 1) + 1),
+                         j -> list_min(list_slice(grams, j, j + 3))),
+                       m -> m.h || ':'
+                            || CAST(-m.negpos AS VARCHAR))) AS fps
+              FROM g
+            )
+            SELECT doc_id,
+                   CAST(split_part(f, ':', 2) AS BIGINT) AS pos,
+                   split_part(f, ':', 1) AS fingerprint
+            FROM (SELECT doc_id, unnest(fps) AS f FROM sel)
         """,
         "split_assign": """
             SELECT doc_id,

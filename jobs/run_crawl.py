@@ -1,11 +1,16 @@
 """Production crawl job — submitted as
-  spark-submit --py-files engine.zip jobs/run_crawl.py \\
+  spark-submit --driver-memory 8g --py-files engine.zip \\
+      jobs/run_crawl.py \\
       --pages <parquet> --seeds <parquet|csv of urls> \\
       --catalog <dir> --epochs N --k-per-host K [--bloom]
 
 Runs N frontier epochs over the pages corpus, committing one snapshot
 (+ per-partition lineage) per epoch to the catalog; safe to re-submit:
-it resumes from the latest committed epoch.
+it resumes from the latest committed epoch (including the persisted
+Bloom filter — no O(|seen|) rebuild). Size --driver-memory for local
+runs: run_crawl materializes the (canon_url, page_url) key map once
+per crawl (DISK_ONLY, but serialization buffers still need heap; the
+1g spark-submit default is too small beyond toy corpora).
 """
 
 from __future__ import annotations

@@ -228,3 +228,33 @@ def test_lsh_band_key_storage_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "band0" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def test_round4_ops_stay_jvm_side(spark):
+    """The round-4 operators must stay in whole-stage codegen: no
+    BatchEvalPython (row-wise Python) anywhere, partial aggregation
+    before the shuffle for the counting ops, TakeOrderedAndProject
+    (not a global Sort) for the top-n."""
+    from warctools_spark.operators.sampling import split_assign
+    from warctools_spark.operators.text_analysis import (
+        bpe_pair_counts,
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    p = _plan(split_assign(docs).select("doc_id", "split"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # pure map-side: no exchange at all
+    assert "Exchange" not in p
+
+    p = _plan(bpe_pair_counts(docs, top_n=50))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p  # map-side combine before the shuffle
+    assert "TakeOrderedAndProject" in p  # top-n without a global sort
+
+    p = _plan(winnow_fingerprints(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # per-doc window partitioning: the only sort is within doc_id
+    # partitions, never a global ordering
+    assert "hashpartitioning(doc_id" in p

@@ -463,3 +463,36 @@ def test_duplicate_spans_are_disjoint_and_in_bounds(spark, corpora, k):
                 )
             )
             assert found_earlier
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.text(alphabet="abcd ", min_size=12, max_size=60),
+    st.text(alphabet="abcd ", min_size=0, max_size=20),
+    st.text(alphabet="abcd ", min_size=0, max_size=20),
+)
+def test_winnowing_shared_substring_guarantee(spark, shared, pre, post):
+    """The winnowing guarantee (Schleimer et al. 2003, theorem 1):
+    two documents sharing a substring of length >= k + w - 1 share at
+    least one selected fingerprint. Construct doc B by wrapping doc
+    A's text in arbitrary prefix/suffix; after normalization the
+    shared run must still produce an overlapping fingerprint."""
+    from warctools_spark.operators.text_analysis import (
+        normalize,
+        winnow_fingerprints,
+    )
+    import re
+
+    k, w = 5, 4
+    norm_shared = re.sub(r"\s+", " ", shared.lower()).strip()
+    if len(norm_shared) < k + w - 1:
+        return  # guarantee only applies at k+w-1 chars
+    a = shared
+    b = pre + " " + shared + " " + post
+    docs = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(docs, k=k, w=w).collect()
+    f0 = {r["fingerprint"] for r in rows if r["doc_id"] == 0}
+    f1 = {r["fingerprint"] for r in rows if r["doc_id"] == 1}
+    assert f0 & f1, (a, b)

@@ -275,3 +275,52 @@ def test_bpe_pair_counts_semantics(spark):
     # deterministic tiebreak: count desc, then pair asc
     ordered = [r["pair"] for r in bpe_pair_counts(docs, top_n=1).collect()]
     assert ordered == ["ab"]
+
+
+def test_winnow_fingerprints_matches_reference_impl(spark):
+    """Winnowing (Schleimer et al. 2003): per-window min with
+    rightmost tie-break, validated against a direct single-node
+    implementation of the paper's algorithm, plus the paper's core
+    guarantee — any shared substring of length >= k+w-1 yields at
+    least one shared fingerprint."""
+    import hashlib
+    import re
+
+    from warctools_spark.operators.text_analysis import winnow_fingerprints
+
+    k, w = 5, 4
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "THE  quick brown fox leaps over a sleepy cat",
+        2: "aaaaaaaaaaaa",  # degenerate: all k-grams identical (ties)
+        3: "tiny",  # shorter than k: no fingerprints
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(docs, k=k, w=w).collect()
+
+    def ref(text):
+        s = re.sub(r"\s+", " ", text.lower()).strip()
+        grams = [
+            (hashlib.md5(s[i:i + k].encode()).hexdigest(), -(i + 1))
+            for i in range(len(s) - k + 1)
+        ]
+        sel = set()
+        for j in range(max(len(grams) - w + 1, 1)):
+            sel.add(min(grams[j:j + w]))
+        return {(-neg, h) for h, neg in sel}
+
+    for d, t in texts.items():
+        got = {(r["pos"], r["fingerprint"]) for r in rows if r["doc_id"] == d}
+        expect = ref(t) if len(t.strip()) >= k else set()
+        assert got == expect, d
+    # shared "quick brown fox ... over" substrings -> shared prints
+    f0 = {r["fingerprint"] for r in rows if r["doc_id"] == 0}
+    f1 = {r["fingerprint"] for r in rows if r["doc_id"] == 1}
+    assert f0 & f1
+    # the all-'a' doc: every window's rightmost-min is the same HASH
+    # (one distinct fingerprint) at a sliding position per window
+    f2 = [r for r in rows if r["doc_id"] == 2]
+    assert len({r["fingerprint"] for r in f2}) == 1
+    assert len(f2) == len({r["pos"] for r in f2}) == 5

@@ -754,3 +754,70 @@ def bpe_pair_counts(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of
+    the normalized text, slide a w-hash window, keep each window's
+    minimum hash (ties -> rightmost occurrence, per the paper), and
+    emit the distinct selected (pos, hash) pairs. Guarantees every
+    shared substring of length >= k+w-1 yields at least one shared
+    fingerprint, at ~2/(w+1) selection density — the local-dedup /
+    plagiarism-detection primitive that a single global min-hash
+    (doc_fingerprints) cannot give.
+
+    Plan shape: explode gram positions (pipelined Generate+Project, so
+    the normalized text is scanned once per doc, never copied per
+    gram) -> per-doc sliding-window MIN over a rowsBetween frame
+    (partitioned by doc id — no global sort, no skew concentration;
+    the same shape as duplicate_spans) -> dropDuplicates. A nested
+    array-lambda formulation (array_min over slice inside transform)
+    is the obvious alternative but Catalyst inlines the gram array
+    into every window element, going O(n_grams^2) md5 calls per doc —
+    measured minutes vs seconds on 500 small docs. md5-based hashes
+    keep it engine-portable for the oracle."""
+    from pyspark.sql import Window
+
+    s = normalize(F.col(text_col))
+    base = docs.select(F.col(id_col), s.alias("__s")).where(
+        F.length("__s") >= k
+    )
+    g = base.select(
+        id_col,
+        (F.length("__s") - (k - 1)).alias("__n_grams"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("__s") - (k - 1))
+        ).alias("__gpos"),
+        "__s",
+    ).select(
+        id_col,
+        "__n_grams",
+        "__gpos",
+        F.md5(F.col("__s").substr(F.col("__gpos"), F.lit(k))).alias("__h"),
+    )
+    # rightmost-min tie-break: min over (hash, -pos) structs
+    win = (
+        Window.partitionBy(id_col).orderBy("__gpos").rowsBetween(0, w - 1)
+    )
+    sel = g.withColumn(
+        "__m",
+        F.min(
+            F.struct(
+                F.col("__h").alias("h"), (-F.col("__gpos")).alias("negpos")
+            )
+        ).over(win),
+    ).where(
+        F.col("__gpos") <= F.greatest(F.col("__n_grams") - (w - 1), F.lit(1))
+    )
+    return sel.select(
+        id_col,
+        (-F.col("__m.negpos")).cast("long").alias("pos"),
+        F.col("__m.h").alias("fingerprint"),
+    ).dropDuplicates()

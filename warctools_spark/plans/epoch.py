@@ -114,12 +114,18 @@ def run_epoch(
 
     # 2. simulated fetch: join the scheduled urls to the pages corpus.
     # pages is keyed by raw url; canonical keys make the join exact.
-    # A caller (run_crawl) can pass pages_keyed precomputed ONCE per
-    # crawl — re-canonicalizing the full corpus every epoch is an
-    # O(|pages|) Arrow pass that multiplies by epoch count at 100 TB.
+    # A caller (run_crawl) can pass pages_keyed (the canon_url ->
+    # page_url map) precomputed ONCE per crawl — re-canonicalizing the
+    # full corpus every epoch is an O(|pages|) Arrow pass that
+    # multiplies by epoch count at 100 TB. The html payload joins in
+    # by exact url, touching only the scheduled rows' pages.
     if pages_keyed is None:
         pages_keyed = key_pages(pages)
-    fetched = schedule.join(pages_keyed, on="canon_url", how="inner")
+    fetched = schedule.join(pages_keyed, on="canon_url", how="inner").join(
+        pages.select(F.col("url").alias("page_url"), "html"),
+        on="page_url",
+        how="inner",
+    )
 
     # 3. harvest + canonicalize (fused single Arrow pass), depth+1
     links = FR.harvest_canonicalized(
@@ -211,13 +217,18 @@ def partition_lineage(df: DataFrame) -> list[dict]:
 
 
 def key_pages(pages: DataFrame) -> DataFrame:
-    """Canonical-key projection of the pages corpus for the fetch
-    join. Hoisted out of run_epoch so a multi-epoch crawl pays the
-    canonicalize pass once, not once per epoch."""
+    """(canon_url, page_url) key MAP of the pages corpus for the fetch
+    join — deliberately WITHOUT the html column, so run_crawl can
+    materialize it once per crawl (two string columns, ~100 bytes/row)
+    instead of either re-running the canonicalize UDF over the whole
+    corpus every epoch (the r3 shape) or checkpointing a full copy of
+    the html payloads (OOMs a 1g driver at bench scale; a non-starter
+    at 100 TB). The payload joins back from the original corpus by
+    exact url at fetch time — in production `pages` is a host-bucketed
+    table, so that join is co-located."""
     return pages.select(
         udf_canonicalize_url(F.col("url")).alias("canon_url"),
         F.col("url").alias("page_url"),
-        "html",
     )
 
 
@@ -327,11 +338,18 @@ def run_crawl(
                 k_hashes=k_hashes,
             )
         bloom = bloom.localCheckpoint(eager=True)
-    # One canonicalize pass per CRAWL, not per epoch. MEMORY_AND_DISK
-    # checkpoint spills the html column; at true 100 TB corpus scale
-    # write this projection as a bucketed catalog table instead (same
-    # seam, catalog.write_bucketed_table) — the join plan is identical.
-    pages_keyed = key_pages(pages).localCheckpoint(eager=True)
+    # One canonicalize pass per CRAWL, not per epoch. The checkpointed
+    # key map is two string columns (no html); DISK_ONLY keeps it out
+    # of the executor heap entirely (a 10^10-row map is ~1 TB spread
+    # over the cluster's local disks — reading it back per epoch beats
+    # re-running the canonicalize UDF by an order of magnitude). At
+    # true 100 TB scale write it once as a bucketed catalog table
+    # (same seam, catalog.write_bucketed_table) — the plan is identical.
+    from pyspark.storagelevel import StorageLevel
+
+    pages_keyed = key_pages(pages).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     all_metrics = []
     for e in range(start_epoch, start_epoch + epochs):
         result = run_epoch(
