@@ -1375,6 +1375,21 @@ def _q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
 
 
+def _q_ivf_kmeans_topk(spark, sf_dir):
+    """ANN top-k over a kmeans-trained IVF index: probe the 2 nearest
+    of 8 Lloyd cells, exact-rerank inside them. The oracle replays the
+    full pipeline — training (shared kmeans CTE), assignment, probe
+    selection, cosine rerank."""
+    from warctools_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_kmeans_topk(
+        emb, [float(v) for v in qvec], k=10, n_cells=8, iterations=2,
+        n_probe=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the round driver records correctness for
     # the FIRST 50 entries only. Round-4 window discipline (r03 brief
@@ -1394,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "ivf_kmeans_topk": _q_ivf_kmeans_topk,
         # --- certified only by r02: rotate in so no entry's newest
         # certification is older than 2 rounds ---
         "token_frequencies": _q_token_frequencies,
@@ -1438,7 +1454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": _q_extract_text,
         "dedup_clusters": _q_dedup_clusters,
         "duplicate_spans": _q_duplicate_spans,
-        "remove_duplicate_spans": _q_remove_duplicate_spans,
         "training_corpus": _q_training_corpus,
         "rag_corpus": _q_rag_corpus,
         # --- past the driver's 50-entry window: every entry below is
@@ -1478,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_v2": _q_training_corpus_v2,
         "anchor_texts": _q_anchor_texts,
         "pack_sequences": _q_pack_sequences,
+        "remove_duplicate_spans": _q_remove_duplicate_spans,
     }
 
 
@@ -3004,6 +3020,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, cluster, d2, row_number() OVER (
                 PARTITION BY vec_id ORDER BY d2, cluster) AS rn
               FROM d2t) WHERE rn = 1
+        """,
+        # IVF-kmeans ANN: probe the 2 cells nearest the query (vec 0),
+        # exact cosine rerank inside them — full pipeline replayed
+        "ivf_kmeans_topk": _KMEANS_CTE
+        + """
+            , m2 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM d2t) WHERE rn = 1
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            probe AS (
+              SELECT cluster FROM (
+                SELECT c1.cluster,
+                       list_sum(list_transform(list_zip(q.qv, c1.c),
+                                p -> (p[1]-p[2])*(p[1]-p[2]))) AS qd
+                FROM c1 CROSS JOIN q)
+              ORDER BY qd, cluster LIMIT 2
+            )
+            SELECT e.vec_id,
+                   round(
+                     list_sum(list_transform(list_zip(e.v, q.qv),
+                              p -> p[1]*p[2]))
+                     / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+                        * sqrt(list_sum(list_transform(e.v, x -> x*x)))),
+                     6) AS cosine
+            FROM e JOIN m2 USING (vec_id) CROSS JOIN q
+            WHERE m2.cluster IN (SELECT cluster FROM probe)
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
         # SemDeDup: drop any vector whose k-means cell holds a
         # lower-id vector at cosine >= 0.5 (round-6 both engines)

@@ -193,6 +193,27 @@ def q_kmeans(spark, pages_path):
     return kmeans_assign(emb, k=16, iterations=2).count()
 
 
+def q_winnow(spark, pages_path):
+    """Extra measurement: winnowing fingerprints over the documents
+    table (explode + per-doc window min + dedup)."""
+    from warctools_spark.operators.text_analysis import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    return winnow_fingerprints(docs, k=8, w=4).count()
+
+
+def q_ivf_kmeans(spark, pages_path):
+    """Extra measurement: kmeans-IVF ANN (train 8 cells, probe 2,
+    exact rerank) — the full per-query path including training."""
+    from warctools_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_kmeans_topk(
+        emb, [float(v) for v in qvec], k=10, n_cells=8, n_probe=2
+    ).count()
+
+
 def main():
     from warctools_spark.session import get_spark
 
@@ -261,6 +282,8 @@ def main():
         ("inverted_index_segmented", q_inverted_index_segmented),
         ("remove_duplicate_spans", q_remove_duplicate_spans),
         ("kmeans_assign", q_kmeans),
+        ("winnow_fingerprints", q_winnow),
+        ("ivf_kmeans_topk", q_ivf_kmeans),
     ):
         results[name], extra_cold[name], extra[name], spreads[name] = timed(
             fn, pages_path

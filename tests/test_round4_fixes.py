@@ -324,3 +324,75 @@ def test_winnow_fingerprints_matches_reference_impl(spark):
     f2 = [r for r in rows if r["doc_id"] == 2]
     assert len({r["fingerprint"] for r in f2}) == 1
     assert len(f2) == len({r["pos"] for r in f2}) == 5
+
+
+def test_ivf_kmeans_topk_recall_and_exactness(spark):
+    """kmeans-trained IVF ANN: probing ALL cells is exactly brute
+    force; probing 2/8 keeps high recall on the sf embeddings and
+    scans only the probed clusters' rows."""
+    from warctools_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_kmeans_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(v) for v in
+         emb.where(F.col("vec_id") == 0).select("embedding")
+         .collect()[0][0]]
+    exact = [(r["vec_id"], r["cosine"])
+             for r in brute_force_topk(emb, q, k=10).collect()]
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_kmeans_topk(emb, q, k=10, n_cells=8,
+                                     n_probe=8).collect()]
+    assert full == exact  # n_probe = n_cells degenerates to exact
+    approx = [(r["vec_id"], r["cosine"])
+              for r in ivf_kmeans_topk(emb, q, k=10, n_cells=8,
+                                       n_probe=2).collect()]
+    recall = len({v for v, _ in exact} & {v for v, _ in approx}) / 10
+    assert recall >= 0.8
+    # query dim mismatch raises before any job runs
+    with pytest.raises(ValueError, match="query_vec has"):
+        ivf_kmeans_topk(emb, q[:-1], k=5)
+
+
+def test_apply_robots_rfc9309_wildcards(spark):
+    """RFC 9309 mode: `*` wildcards, `$` end anchors, specificity by
+    pattern length, Allow wins length ties; default prefix mode is
+    unchanged (reference-era semantics)."""
+    from warctools_spark.operators.robots import _rfc9309_regex, apply_robots
+
+    assert _rfc9309_regex("/p/*.php$") == r"^/p/.*\.php$"
+    assert _rfc9309_regex("/a") == "^/a"
+
+    def frontier_for(paths):
+        return spark.createDataFrame(
+            [("h", f"http://h{p}", f"s{i}", 0)
+             for i, p in enumerate(paths)],
+            "host string, canon_url string, url_sha1 string, depth int",
+        )
+
+    robots = spark.createDataFrame(
+        [("h", 0, ["/private/*", "/*.pdf$"], ["/private/pub*"], [])],
+        "host string, crawl_delay_ms int, disallow array<string>, "
+        "allow array<string>, sitemaps array<string>",
+    )
+    paths = [
+        "/private/secret.html",   # blocked by /private/*
+        "/private/pub/x.html",    # allowed: /private/pub* longer
+        "/docs/report.pdf",       # blocked by /*.pdf$
+        "/docs/report.pdf.html",  # NOT blocked: $ anchors the end
+        "/open/page.html",        # no rule -> allowed
+    ]
+    out = apply_robots(frontier_for(paths), robots, match_mode="rfc9309")
+    kept = {r["canon_url"].replace("http://h", "")
+            for r in out.select("canon_url").collect()}
+    assert kept == {
+        "/private/pub/x.html",
+        "/docs/report.pdf.html",
+        "/open/page.html",
+    }
+    # prefix mode ignores wildcard syntax (treats '*' literally)
+    pref = apply_robots(frontier_for(paths), robots, match_mode="prefix")
+    assert pref.count() == 5  # no literal '/private/*' prefix matches
+    with pytest.raises(ValueError, match="unknown match_mode"):
+        apply_robots(frontier_for(paths), robots, match_mode="nope")

@@ -59,10 +59,34 @@ def parse_robots_table(raw: DataFrame) -> DataFrame:
     )
 
 
-def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+def _rfc9309_regex(pattern: str) -> str:
+    """RFC 9309 rule pattern -> anchored Java-compatible regex:
+    `*` matches any char sequence, a trailing `$` anchors the end;
+    everything else is literal."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(_re.escape(seg) for seg in body.split("*"))
+    return rx + "$" if anchored else rx
+
+
+def apply_robots(
+    frontier: DataFrame, robots: DataFrame, match_mode: str = "prefix"
+) -> DataFrame:
     """Broadcast-join robots rules onto the frontier and keep allowed
     URLs. Longest-prefix-match with Allow >= Disallow on ties, all in
     JVM expressions.
+
+    match_mode="prefix" (default) is plain prefix matching — the
+    semantics of classic robots.txt parsers and of the era the
+    reference targets. match_mode="rfc9309" adds `*` wildcards and
+    `$` end anchors per RFC 9309 §2.2.3, with specificity = octet
+    length of the PATTERN (not the matched span) and Allow winning
+    length ties, matching the RFC's most-specific/least-restrictive
+    rule. Patterns compile to regexes once on the broadcast-small
+    robots side (a pandas UDF over one row per host); the per-URL hot
+    path stays JVM-side via regexp_like.
 
     CONTRACT: one robots row per host. The left join would otherwise
     fan every frontier URL out once per duplicate row — and downstream
@@ -74,27 +98,62 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     host-keyed, so duplicates only arise from a malformed upstream
     fetch and any consistent pick is acceptable; the table is
     broadcast-small, so the extra agg is negligible."""
+    if match_mode not in ("prefix", "rfc9309"):
+        raise ValueError(f"unknown match_mode: {match_mode!r}")
     rule_cols = [c for c in robots.columns if c != "host"]
     robots_one = (
         robots.groupBy("host")
         .agg(F.min(F.struct(*rule_cols)).alias("__r"))
         .select("host", "__r.*")
     )
+    if match_mode == "rfc9309":
+
+        @pandas_udf("array<struct<plen:int,rx:string>>")
+        def _compile(pats: pd.Series) -> pd.Series:
+            return pats.apply(
+                lambda arr: [
+                    {"plen": len(p), "rx": _rfc9309_regex(p)}
+                    for p in (arr if arr is not None else [])
+                ]
+            )
+
+        robots_one = robots_one.withColumn(
+            "allow", _compile("allow")
+        ).withColumn("disallow", _compile("disallow"))
     path = F.parse_url(F.col("canon_url"), F.lit("PATH"))
     joined = frontier.withColumn("path", F.coalesce(path, F.lit("/"))).join(
         F.broadcast(robots_one), on="host", how="left"
     )
-    best_len = lambda arr: F.coalesce(  # noqa: E731
-        F.array_max(
-            F.transform(
-                F.filter(arr, lambda p: F.col("path").startswith(p)),
-                lambda p: F.length(p),
-            )
-        ),
-        F.lit(-1),
+    if match_mode == "prefix":
+        best_len = lambda arr: F.coalesce(  # noqa: E731
+            F.array_max(
+                F.transform(
+                    F.filter(arr, lambda p: F.col("path").startswith(p)),
+                    lambda p: F.length(p),
+                )
+            ),
+            F.lit(-1),
+        )
+    else:
+        best_len = lambda arr: F.coalesce(  # noqa: E731
+            F.array_max(
+                F.transform(
+                    F.filter(
+                        arr,
+                        lambda e: F.regexp_like(F.col("path"), e["rx"]),
+                    ),
+                    lambda e: e["plen"],
+                )
+            ),
+            F.lit(-1),
+        )
+    empty = (
+        F.array()
+        if match_mode == "prefix"
+        else F.array().cast("array<struct<plen:int,rx:string>>")
     )
-    allowed = best_len(F.coalesce(F.col("allow"), F.array())) >= best_len(
-        F.coalesce(F.col("disallow"), F.array())
+    allowed = best_len(F.coalesce(F.col("allow"), empty)) >= best_len(
+        F.coalesce(F.col("disallow"), empty)
     )
     return (
         joined.where(allowed)

@@ -200,6 +200,27 @@ def kmeans_assign(
     per iteration (the same O(small) driver traffic as Lloyd on any
     cluster). Returns (id, cluster, dist) with dist rounded to 6.
     """
+    assigned, _ = _lloyd(
+        emb, k, iterations, id_col, vec_col, round_centroids, assign_mode
+    )
+    return assigned.select(
+        id_col,
+        "cluster",
+        F.round(F.sqrt(F.col("__d2")), 6).alias("dist"),
+    )
+
+
+def _lloyd(
+    emb: DataFrame,
+    k: int,
+    iterations: int,
+    id_col: str,
+    vec_col: str,
+    round_centroids: int,
+    assign_mode: str,
+) -> tuple[DataFrame, dict]:
+    """Shared Lloyd loop behind kmeans_assign and ivf_kmeans_topk:
+    returns (assigned(id, __v, cluster, __d2), final centroids)."""
     from pyspark.sql.functions import pandas_udf
 
     from warctools_spark.operators.dedup import _require_dims, _resolve_dims
@@ -282,11 +303,56 @@ def kmeans_assign(
         # empty clusters keep their previous centroid
         centroids = {cid: new_c.get(cid, c) for cid, c in centroids.items()}
         assigned = assign(keyed)
-    return assigned.select(
-        id_col,
-        "cluster",
-        F.round(F.sqrt(F.col("__d2")), 6).alias("dist"),
+    return assigned, centroids
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    iterations: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a kmeans-trained IVF index (the classic
+    inverted-file ANN: Lloyd centroids as the coarse quantizer instead
+    of the data-independent sign cells of ivf_topk). Train `n_cells`
+    deterministic Lloyd centroids, pick the `n_probe` cells whose
+    centroids are nearest the query (driver-side — n_cells distances),
+    and exact-rerank only the vectors assigned to those cells.
+
+    Scale shape: training is the kmeans_assign plan (map-side combined
+    centroid update, k*dims rows to the driver per iteration); the
+    probe is a literal IN filter on the cluster column — if the corpus
+    is stored partitioned by cluster (the IVF layout), that prunes
+    ~(1 - n_probe/n_cells) of the scan before it starts; the rerank is
+    TakeOrderedAndProject over the probed fraction. Expected recall
+    rises with n_probe; exact when n_probe = n_cells. In production
+    the trained index (cluster column + centroid table) is written
+    once and reused across queries — this entry trains per call only
+    so the whole path stays one oracle-checkable expression."""
+    assigned, centroids = _lloyd(
+        emb, n_cells, iterations, id_col, vec_col, 6, "expr"
     )
+    if len(query_vec) != len(next(iter(centroids.values()))):
+        raise ValueError(
+            f"query_vec has {len(query_vec)} dims but centroids have "
+            f"{len(next(iter(centroids.values())))}"
+        )
+    # driver-side probe selection: left-fold float64 arithmetic, the
+    # same order as the SQL oracle's list_sum fold
+    ranked = sorted(
+        (
+            sum((x - y) * (x - y) for x, y in zip(query_vec, c)),
+            cid,
+        )
+        for cid, c in centroids.items()
+    )
+    probe = [cid for _, cid in ranked[:n_probe]]
+    cands = assigned.where(F.col("cluster").isin(probe))
+    return brute_force_topk(cands, query_vec, k, id_col, vec_col="__v")
 
 
 def semdedup_survivors(
