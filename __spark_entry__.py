@@ -1375,6 +1375,18 @@ def _q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
 
 
+def _q_ngram_containment(spark, sf_dir):
+    """Asymmetric 3-gram containment (+jaccard) for consecutive-id
+    pairs — the quote/partial-copy detector Jaccard misses."""
+    from warctools_spark.operators.dedup import ngram_containment
+
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return ngram_containment(docs, pairs)
+
+
 def _q_ivf_kmeans_topk(spark, sf_dir):
     """ANN top-k over a kmeans-trained IVF index: probe the 2 nearest
     of 8 Lloyd cells, exact-rerank inside them. The oracle replays the
@@ -1410,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "ivf_kmeans_topk": _q_ivf_kmeans_topk,
+        "ngram_containment": _q_ngram_containment,
         # --- certified only by r02: rotate in so no entry's newest
         # certification is older than 2 rounds ---
         "token_frequencies": _q_token_frequencies,
@@ -1453,7 +1466,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harvest_links": _q_harvest_links,
         "extract_text": _q_extract_text,
         "dedup_clusters": _q_dedup_clusters,
-        "duplicate_spans": _q_duplicate_spans,
         "training_corpus": _q_training_corpus,
         "rag_corpus": _q_rag_corpus,
         # --- past the driver's 50-entry window: every entry below is
@@ -1494,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": _q_anchor_texts,
         "pack_sequences": _q_pack_sequences,
         "remove_duplicate_spans": _q_remove_duplicate_spans,
+        "duplicate_spans": _q_duplicate_spans,
     }
 
 
@@ -1924,6 +1937,19 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             WITH s AS (SELECT doc_id, {sh} AS sh FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """,
+        "ngram_containment": f"""
+            WITH s AS (SELECT doc_id, {sh} AS sh FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / greatest(len(a.sh), 1), 6)
+                       AS containment_a_in_b,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / greatest(len(b.sh), 1), 6)
+                       AS containment_b_in_a,
                    round(len(list_intersect(a.sh, b.sh))
                          / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
             FROM s a JOIN s b ON b.doc_id = a.doc_id + 1

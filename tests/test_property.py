@@ -496,3 +496,44 @@ def test_winnowing_shared_substring_guarantee(spark, shared, pre, post):
     f0 = {r["fingerprint"] for r in rows if r["doc_id"] == 0}
     f1 = {r["fingerprint"] for r in rows if r["doc_id"] == 1}
     assert f0 & f1, (a, b)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(words_strategy, min_size=1, max_size=5))
+def test_bpe_pair_counts_equal_python_reference(spark, corpora):
+    """Pair counts must equal a direct python count of adjacent char
+    pairs inside words (>=2 chars), at any corpus shape."""
+    from collections import Counter
+
+    from warctools_spark.operators.text_analysis import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpora)],
+        "doc_id long, text string",
+    )
+    got = {r["pair"]: r["n"]
+           for r in bpe_pair_counts(docs, top_n=10_000).collect()}
+    ref = Counter()
+    for ws in corpora:
+        for w in ws:
+            for i in range(len(w) - 1):
+                ref[w[i:i + 2]] += 1
+    assert got == dict(ref)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=50, unique=True))
+def test_split_assign_stable_under_id_subsets(spark, ids):
+    """A doc's split depends only on its id (and seed): any subset of
+    the corpus assigns identically — adding/removing other docs can
+    never move a doc between train and test."""
+    from warctools_spark.operators.sampling import split_assign
+
+    full = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    half = spark.createDataFrame(
+        [(i,) for i in ids[: max(len(ids) // 2, 1)]], "doc_id long"
+    )
+    a = {r["doc_id"]: r["split"] for r in split_assign(full).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(half).collect()}
+    assert all(a[k] == v for k, v in b.items())

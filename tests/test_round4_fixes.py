@@ -396,3 +396,29 @@ def test_apply_robots_rfc9309_wildcards(spark):
     assert pref.count() == 5  # no literal '/private/*' prefix matches
     with pytest.raises(ValueError, match="unknown match_mode"):
         apply_robots(frontier_for(paths), robots, match_mode="nope")
+
+
+def test_ngram_containment_detects_embedded_quote(spark):
+    """Containment catches a short doc wholly embedded in a long one
+    (C(a in b)=1.0) where Jaccard stays small — the asymmetric signal
+    the drop-if-contained dedup policy needs."""
+    from warctools_spark.operators.dedup import ngram_containment
+
+    short = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(40))
+    tail = " ".join(f"t{i}" for i in range(40))
+    long = filler + " " + short + " " + tail
+    docs = spark.createDataFrame(
+        [(0, short), (1, long), (2, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], "id_a long, id_b long"
+    )
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in ngram_containment(docs, pairs).collect()}
+    emb = rows[(0, 1)]
+    assert emb["containment_a_in_b"] == 1.0  # fully embedded
+    assert emb["containment_b_in_a"] < 0.3
+    assert emb["jaccard"] < 0.3  # jaccard alone would miss it
+    assert rows[(0, 2)]["containment_a_in_b"] == 0.0

@@ -883,3 +883,49 @@ def remove_duplicate_spans(
         ),
         (F.size(toks) - F.size(keep)).alias("n_removed_tokens"),
     )
+
+
+def ngram_containment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact ASYMMETRIC n-gram containment for candidate pairs:
+    C(a in b) = |S(a) ∩ S(b)| / |S(a)|. The quote/partial-copy
+    detector Jaccard misses — a short document wholly embedded in a
+    long one has containment ~1.0 while Jaccard stays near
+    |S(a)|/|S(b)| (tiny). Returns both directions plus jaccard so one
+    pass serves the dedup policy ("drop if contained" vs "drop if
+    near-identical"). Same join shape as ngram_jaccard: two hash
+    joins of the pairs table against the shingle projection."""
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(
+            sh.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter / F.greatest(F.size("sh_a"), F.lit(1)), 6
+            ).alias("containment_a_in_b"),
+            F.round(
+                inter / F.greatest(F.size("sh_b"), F.lit(1)), 6
+            ).alias("containment_b_in_a"),
+            F.round(
+                inter
+                / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
