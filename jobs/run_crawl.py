@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--bloom-fpr", type=float, default=0.01)
     ap.add_argument("--hot-host-threshold", type=int, default=None)
     ap.add_argument(
+        "--expire-keep", type=int, default=None,
+        help="after the run, keep only the newest N snapshots and "
+             "delete table dirs no surviving snapshot references "
+             "(bounded catalog storage for long crawls; append-only "
+             "seen deltas the latest snapshot needs always survive)",
+    )
+    ap.add_argument(
         "--sitemap-seeds",
         action="store_true",
         help="augment the seed list with URLs discovered in sitemap "
@@ -95,6 +102,9 @@ def main():
     )
     for m in metrics:
         print(json.dumps(m))
+
+    if args.expire_keep is not None:
+        print(json.dumps(catalog.expire_snapshots(keep_last=args.expire_keep)))
 
     spark.stop()
 

@@ -422,3 +422,69 @@ def test_ngram_containment_detects_embedded_quote(spark):
     assert emb["containment_b_in_a"] < 0.3
     assert emb["jaccard"] < 0.3  # jaccard alone would miss it
     assert rows[(0, 2)]["containment_a_in_b"] == 0.0
+
+
+def test_catalog_expire_snapshots_preserves_resume(spark, pages, seed_df, tmp_path):
+    """Iceberg-style expire: old snapshots drop, but every path the
+    surviving snapshots reference — including append-only seen deltas
+    from EXPIRED epochs — survives, and resume is unchanged."""
+    import os
+
+    cat = Catalog(str(tmp_path / "cat"), n_buckets=8)
+    run_crawl(
+        spark, pages, seed_df, epochs=4, k_per_host=K,
+        catalog=cat, use_bloom=True, compact_every=100,
+    )
+    e, queue_before, seen_before = resume_state(spark, cat)
+    seen_rows = sorted(r["url_sha1"] for r in seen_before.collect())
+    queue_rows = queue_before.count()
+
+    res = cat.expire_snapshots(keep_last=2)
+    assert res["expired_epochs"] == [0, 1]
+    assert cat.list_epochs() == [2, 3]
+    # epoch 0/1 schedule+queue dirs are gone...
+    assert not os.path.exists(cat.table_path("schedule", 0))
+    assert not os.path.exists(cat.table_path("queue", 1))
+    # ...but their seen deltas survive (latest snapshot references them)
+    assert os.path.exists(cat.table_path("seen_delta", 0))
+    assert os.path.exists(cat.table_path("seen_delta", 1))
+
+    e2, queue_after, seen_after = resume_state(spark, cat)
+    assert e2 == e
+    assert sorted(r["url_sha1"] for r in seen_after.collect()) == seen_rows
+    assert queue_after.count() == queue_rows
+    # idempotent / under-threshold no-op
+    assert cat.expire_snapshots(keep_last=8) == {
+        "expired_epochs": [], "deleted_dirs": []
+    }
+
+
+def test_catalog_rollback_time_travel(spark, pages, seed_df, tmp_path):
+    """Rollback drops newer manifests only; resume lands on the target
+    epoch and the next expire sweeps the orphaned data dirs."""
+    import os
+
+    cat = Catalog(str(tmp_path / "cat"), n_buckets=8)
+    run_crawl(
+        spark, pages, seed_df, epochs=3, k_per_host=K, catalog=cat,
+    )
+    assert cat.rollback(1) == [2]
+    assert cat.latest_epoch() == 1
+    e, queue, seen = resume_state(spark, cat)
+    assert e == 1
+    # orphaned epoch-2 data still on disk until expire sweeps it
+    assert os.path.exists(cat.table_path("schedule", 2))
+    cat.expire_snapshots(keep_last=2)
+    assert not os.path.exists(cat.table_path("schedule", 2))
+    assert not os.path.exists(cat.table_path("seen_delta", 2))
+    # continuing from the rolled-back state matches a fresh 3-epoch run
+    metrics = run_crawl(
+        spark, pages, seed_df, epochs=1, k_per_host=K, catalog=cat,
+        start_epoch=e + 1, initial_state=(queue, seen),
+    )
+    cat2 = Catalog(str(tmp_path / "fresh"), n_buckets=8)
+    m2 = run_crawl(spark, pages, seed_df, epochs=3, k_per_host=K, catalog=cat2)
+    assert metrics[0]["scheduled"] == m2[2]["scheduled"]
+    assert metrics[0]["seen_size"] == m2[2]["seen_size"]
+    with pytest.raises(ValueError, match="no snapshot"):
+        cat.rollback(99)

@@ -128,3 +128,84 @@ class Catalog:
         df = spark.read.parquet(self.table_path(table, epoch))
         # the bucket partition column is physical layout, not table schema
         return df.drop("bucket") if "bucket" in df.columns else df
+
+    # ---- snapshot maintenance (the Iceberg expire/rollback story) ----
+    def list_epochs(self) -> list[int]:
+        mdir = os.path.join(self.root, "_manifests")
+        return sorted(
+            int(name[len("epoch_"): -len(".json")])
+            for name in os.listdir(mdir)
+            if name.startswith("epoch_") and name.endswith(".json")
+        )
+
+    def referenced_paths(self, epochs: list[int]) -> set:
+        """Every physical path any of `epochs`' manifests still needs:
+        the epoch's own table dirs plus the seen parts its snapshot
+        references — which, under append-only seen storage, reach BACK
+        into older epochs' seen_delta dirs."""
+        refs: set = set()
+        for e in epochs:
+            m = self.read_manifest(e)
+            for t in m.get("tables", []):
+                refs.add(os.path.normpath(t["path"]))
+            for p in m["metrics"].get("seen_parts", []):
+                refs.add(os.path.normpath(p))
+        return refs
+
+    def expire_snapshots(self, keep_last: int = 8) -> dict:
+        """Drop all but the newest `keep_last` snapshots and delete
+        table directories no surviving snapshot references — bounded
+        catalog storage for a 10^3-epoch crawl, where otherwise every
+        epoch's schedule/queue table lives forever.
+
+        Safety model (same as Iceberg's expire_snapshots): a path is
+        deleted only if NO surviving manifest references it, so the
+        append-only seen deltas a compacted-or-not latest snapshot
+        still needs always survive, and `resume_state` after expiry is
+        byte-identical to before. Manifests are removed first, data
+        dirs second — a crash in between leaves only unreferenced
+        orphan dirs (re-run to finish), never a manifest pointing at
+        deleted data."""
+        import shutil
+
+        epochs = self.list_epochs()
+        # the orphan sweep runs even when no manifest expires: rollback
+        # leaves newer epochs' data dirs unreferenced on purpose, and
+        # this is the pass that reclaims them
+        expired = epochs[:-keep_last] if len(epochs) > keep_last else []
+        kept = epochs[len(expired):]
+        keep_refs = self.referenced_paths(kept)
+        for e in expired:
+            os.remove(self.manifest_path(e))
+        deleted = []
+        for table in sorted(os.listdir(self.root)):
+            tdir = os.path.join(self.root, table)
+            # *_bucketed dirs belong to the Spark metastore (saveAsTable),
+            # not the snapshot manifests — outside this contract; drop
+            # them with DROP TABLE, not a file sweep
+            if (
+                table == "_manifests"
+                or table.endswith("_bucketed")
+                or not os.path.isdir(tdir)
+            ):
+                continue
+            for ep_dir in sorted(os.listdir(tdir)):
+                path = os.path.normpath(os.path.join(tdir, ep_dir))
+                if path not in keep_refs:
+                    shutil.rmtree(path)
+                    deleted.append(path)
+        return {"expired_epochs": expired, "deleted_dirs": deleted}
+
+    def rollback(self, epoch: int) -> list[int]:
+        """Time travel: drop every snapshot NEWER than `epoch` so
+        `resume_state` resumes from it. Only manifests are removed —
+        newer epochs' data dirs become unreferenced orphans that the
+        next `expire_snapshots` sweeps, mirroring Iceberg's
+        rollback-then-expire contract (rollback stays instant and
+        safely crash-interruptible)."""
+        dropped = [e for e in self.list_epochs() if e > epoch]
+        if epoch not in self.list_epochs():
+            raise ValueError(f"no snapshot for epoch {epoch}")
+        for e in dropped:
+            os.remove(self.manifest_path(e))
+        return dropped
