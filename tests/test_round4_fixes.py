@@ -488,3 +488,40 @@ def test_catalog_rollback_time_travel(spark, pages, seed_df, tmp_path):
     assert metrics[0]["seen_size"] == m2[2]["seen_size"]
     with pytest.raises(ValueError, match="no snapshot"):
         cat.rollback(99)
+
+
+def test_ivf_index_persist_and_partition_pruned_query(spark, tmp_path):
+    """build-once/query-many IVF: the persisted index returns exactly
+    what the train-per-call path returns, and the query plan scans
+    ONLY the probed cells' partitions (PartitionFilters on cluster)."""
+    import re
+
+    from warctools_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_kmeans_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(v) for v in
+         emb.where(F.col("vec_id") == 0).select("embedding")
+         .collect()[0][0]]
+    path = str(tmp_path / "ivf")
+    centroids = build_ivf_index(emb, path, n_cells=8, iterations=2)
+    assert len(centroids) == 8
+
+    got = ivf_index_topk(spark, path, q, k=10, n_probe=2)
+    expect = [(r["vec_id"], r["cosine"])
+              for r in ivf_kmeans_topk(emb, q, k=10, n_cells=8,
+                                       n_probe=2).collect()]
+    assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == expect
+
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[.*cluster.*\]", plan)
+    assert m, plan  # the cluster IN filter prunes partitions at scan
+    # only 2 of 8 partition dirs are read
+    files = re.search(r"partitions read: (\d+)", plan)
+    if files:  # phrasing varies by Spark version; filter assert above
+        assert int(files.group(1)) <= 2

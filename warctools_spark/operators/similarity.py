@@ -399,3 +399,73 @@ def semdedup_survivors(
     return keyed.join(dropped, id_col, "left_anti").select(
         F.col(id_col), "cluster"
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the IVF index ivf_kmeans_topk trains per call:
+    vectors written partitioned by their Lloyd cluster id (the
+    inverted-file layout) plus a centroids sidecar. Train once, query
+    many — each query then reads only its probed cells' partitions
+    (see ivf_index_topk, partition pruning plan-asserted in tests).
+    Returns the centroid dict {cluster: [floats]}."""
+    import json
+    import os
+
+    assigned, centroids = _lloyd(
+        emb, n_cells, iterations, id_col, vec_col, 6, "expr"
+    )
+    (
+        assigned.select(id_col, "cluster", F.col("__v").alias("embedding"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    sidecar = {
+        "n_cells": n_cells,
+        "centroids": {str(c): v for c, v in centroids.items()},
+    }
+    tmp = os.path.join(path, "centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(sidecar, f)
+    os.replace(tmp, os.path.join(path, "centroids.json"))
+    return centroids
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted IVF index: pick the n_probe cells whose
+    centroids are nearest the query (driver-side, from the sidecar —
+    no job), then scan ONLY those cells' partitions (`cluster IN`
+    reaches the parquet scan as a PartitionFilter) and exact-rerank.
+    Identical results to the train-per-call ivf_kmeans_topk at the
+    same parameters (tested)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        sidecar = json.load(f)
+    centroids = {int(c): v for c, v in sidecar["centroids"].items()}
+    ranked = sorted(
+        (
+            sum((x - y) * (x - y) for x, y in zip(query_vec, c)),
+            cid,
+        )
+        for cid, c in centroids.items()
+    )
+    probe = [cid for _, cid in ranked[:n_probe]]
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    cands = vectors.where(F.col("cluster").isin(probe))
+    return brute_force_topk(cands, query_vec, k, id_col, vec_col="embedding")
