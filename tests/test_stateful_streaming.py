@@ -215,3 +215,80 @@ def test_change_rate_tracker_across_batches(spark, tmp_path):
     final_b = [r for r in rows if r["entity"] == "b"][-1]
     assert final_b["n_changes"] == 1
     assert final_b["next_due_us"] == 3_600_000_000  # 0 + default 1h
+
+
+def test_stream_frontier_durable_two_batches_and_replay(spark, tmp_path):
+    """Streaming twin of the batch epoch: per-micro-batch Bloom-probe
+    dedup against catalog state, snapshot commit per batch, and the
+    manifest as the exactly-once barrier — a replay with stale
+    streaming state (checkpoint deleted, catalog kept) commits
+    nothing twice."""
+    import os
+
+    from warctools_spark.plans.catalog import Catalog
+    from warctools_spark.streaming.frontier_stream import (
+        stream_frontier_durable,
+    )
+
+    def rows(ids):
+        return [
+            (f"{i:040x}", f"http://h{i % 3}.example.com/{i}",
+             f"h{i % 3}.example.com", 1)
+            for i in ids
+        ]
+
+    schema = "url_sha1 string, canon_url string, host string, depth int"
+    src = str(tmp_path / "links")
+    os.makedirs(src)
+    # batch 0: urls 0..19; batch 1: urls 10..29 (10 overlap -> dedup)
+    spark.createDataFrame(rows(range(20)), schema).coalesce(1)\
+        .write.parquet(src + "/b0")
+    spark.createDataFrame(rows(range(10, 30)), schema).coalesce(1)\
+        .write.parquet(src + "/b1")
+
+    cat = Catalog(str(tmp_path / "cat"), n_buckets=8)
+    scheduled = {}
+
+    def sink(df, batch_id):
+        scheduled[batch_id] = sorted(
+            r["url_sha1"] for r in df.select("url_sha1").collect()
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = stream_frontier_durable(
+        stream, cat, k_per_host=100,
+        checkpoint=str(tmp_path / "ckpt"), sink=sink,
+    )
+    q.awaitTermination(120)
+
+    assert cat.list_epochs() == [0, 1]
+    m0, m1 = cat.read_manifest(0), cat.read_manifest(1)
+    assert m0["metrics"]["fresh"] == 20
+    assert m1["metrics"]["fresh"] == 10  # overlap deduped vs snapshot
+    total = set(scheduled[0]) | set(scheduled[1])
+    assert len(scheduled[0]) == 20 and len(scheduled[1]) == 10
+    assert len(total) == 30  # no url scheduled twice
+    # every batch snapshot carries the filter table
+    assert any(t["table"] == "bloom" for t in m1["tables"])
+
+    # replay with stale streaming state: checkpoint wiped, catalog kept
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    before = {e: cat.read_manifest(e)["committed_at"]
+              for e in cat.list_epochs()}
+    q2 = stream_frontier_durable(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*"),
+        cat, k_per_host=100,
+        checkpoint=str(tmp_path / "ckpt2"), sink=sink,
+    )
+    q2.awaitTermination(120)
+    assert cat.list_epochs() == [0, 1]  # nothing re-committed
+    assert {e: cat.read_manifest(e)["committed_at"]
+            for e in cat.list_epochs()} == before

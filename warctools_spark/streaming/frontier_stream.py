@@ -141,3 +141,123 @@ def sessionize_stream(
             "n_events",
         )
     )
+
+
+def stream_frontier_durable(
+    links: DataFrame,
+    catalog,
+    k_per_host: int = 10,
+    bloom_n_buckets: int = 32,
+    bloom_capacity_per_bucket: int = 1 << 16,
+    bloom_fpr: float = 0.01,
+    checkpoint: str = "",
+    sink=None,
+    trigger_available_now: bool = True,
+):
+    """Standing-ingest frontier with DURABLE dedup state: each
+    micro-batch is one epoch of the batch pipeline — within-batch
+    dedup -> two-tier Bloom probe against the catalog's seen set ->
+    politeness schedule — and commits (seen delta, updated filter,
+    schedule) as a catalog snapshot keyed by the batch id.
+
+    Exactly-once effect across restarts WITHOUT relying on the sink:
+    a replayed batch id (streaming checkpoint behind the catalog
+    state) finds its snapshot already committed and skips — the
+    manifest commit is the idempotence barrier, the same contract the
+    batch run_crawl uses for crash-exact resume. The Bloom filter is
+    restored from the previous snapshot (O(n_buckets)) and updated
+    incrementally with the batch's fresh keys — no O(|seen|) work per
+    batch at any corpus size.
+
+    `links` rows need the queue columns (url_sha1, canon_url, host,
+    depth); `sink(schedule_df, batch_id)` receives each batch's
+    scheduled rows."""
+    from warctools_spark.operators import frontier as FR
+    from warctools_spark.operators import seen as SEEN
+    from warctools_spark.plans.epoch import restore_bloom
+
+    m_bits, k_hashes = SEEN.optimal_params(
+        bloom_capacity_per_bucket, bloom_fpr
+    )
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        latest = catalog.latest_epoch()
+        if latest is not None and latest >= batch_id:
+            return  # replay of a committed batch: snapshot is the barrier
+        parts = catalog.seen_parts(latest if latest is not None else -1)
+        seen = (
+            spark.read.parquet(*parts).select("url_sha1")
+            if parts
+            else spark.createDataFrame([], "url_sha1 string")
+        )
+        bloom = restore_bloom(
+            spark, catalog, m_bits, k_hashes, bloom_n_buckets
+        )
+        if bloom is None:
+            bloom = SEEN.build_bloom(
+                seen,
+                n_buckets=bloom_n_buckets,
+                m_bits=m_bits,
+                k_hashes=k_hashes,
+            )
+        # within-batch dedup over the queue columns (deterministic
+        # min-over-struct, same discipline as FR.dedup_within_epoch
+        # which expects the full harvest schema)
+        cand = (
+            batch_df.groupBy("url_sha1")
+            .agg(
+                F.min(F.struct("depth", "canon_url", "host")).alias("__m")
+            )
+            .select(
+                "url_sha1",
+                F.col("__m.canon_url").alias("canon_url"),
+                F.col("__m.host").alias("host"),
+                F.col("__m.depth").alias("depth"),
+            )
+        )
+        fresh = SEEN.two_tier_dedup(
+            spark, cand, seen, n_buckets=bloom_n_buckets, bloom=bloom
+        ).localCheckpoint(eager=True)
+        sched = politeness_schedule(fresh, k_per_host, salt_all=True)
+        delta_bloom = SEEN.build_bloom(
+            fresh.select("url_sha1"),
+            n_buckets=bloom_n_buckets,
+            m_bits=m_bits,
+            k_hashes=k_hashes,
+        )
+        bloom = SEEN.union_blooms(bloom, delta_bloom).localCheckpoint(
+            eager=True
+        )
+        tables = [
+            catalog.write_table(
+                fresh.select("url_sha1"), "seen_delta", batch_id,
+                bucket_col=None,
+            ),
+            {
+                **catalog.write_table(
+                    bloom, "bloom", batch_id, bucket_col=None
+                ),
+                "bloom_n_buckets": bloom_n_buckets,
+            },
+        ]
+        n_fresh = fresh.count()
+        catalog.commit(
+            batch_id,
+            tables,
+            {
+                "seen_parts": parts
+                + [catalog.table_path("seen_delta", batch_id)],
+                "batch_id": batch_id,
+                "fresh": n_fresh,
+            },
+        )
+        if sink is not None:
+            sink(sched, batch_id)
+
+    writer = links.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
