@@ -525,3 +525,66 @@ def test_ivf_index_persist_and_partition_pruned_query(spark, tmp_path):
     files = re.search(r"partitions read: (\d+)", plan)
     if files:  # phrasing varies by Spark version; filter assert above
         assert int(files.group(1)) <= 2
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Distributed BPE (Sennrich et al. 2016) must reproduce a direct
+    single-node implementation exactly: merge order, final vocab
+    segmentation, and inference on documents — at any parallelism."""
+    from collections import Counter
+
+    from warctools_spark.operators.bpe import apply_bpe, bpe_train
+
+    texts = ["low lower lowest low low", "new newer newest new"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    def ref_train(texts, k):
+        wf = Counter(w for t in texts for w in t.split())
+        segs = {w: list(w) for w in wf}
+        merges = []
+        for _ in range(k):
+            pc = Counter()
+            for w, f in wf.items():
+                s = segs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            x, y = best
+            for w in segs:
+                out, p = [], None
+                for cur in segs[w]:
+                    if p is None:
+                        p = cur
+                    elif p == x and cur == y:
+                        out.append(x + y)
+                        p = None
+                    else:
+                        out.append(p)
+                        p = cur
+                if p is not None:
+                    out.append(p)
+                segs[w] = out
+        return merges, segs
+
+    ref_merges, ref_segs = ref_train(texts, 6)
+    merges, segs = bpe_train(docs, n_merges=6)
+    assert [tuple(m) for m in merges] == ref_merges
+    assert {r["word"]: r["symbols"] for r in segs.collect()} == ref_segs
+    # parallelism invariance: same merges from a repartitioned corpus
+    merges16, _ = bpe_train(docs.repartition(16), n_merges=6)
+    assert merges16 == merges
+
+    out = {r["doc_id"]: r["tokens"]
+           for r in apply_bpe(docs, merges).collect()}
+    # inference segments every word exactly as the trained vocab does
+    assert out[0] == ["low", "low", "er", "low", "es", "t", "low", "low"]
+    assert out[1] == ["new", "new", "er", "new", "es", "t", "new"]
+    # greedy left-to-right overlap rule: 'a a a' merges once
+    aaa = spark.createDataFrame([(9, "aaa")], "doc_id long, text string")
+    toks = apply_bpe(aaa, [("a", "a")]).collect()[0]["tokens"]
+    assert toks == ["aa", "a"]
