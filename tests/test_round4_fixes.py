@@ -588,3 +588,22 @@ def test_bpe_train_matches_reference_implementation(spark):
     aaa = spark.createDataFrame([(9, "aaa")], "doc_id long, text string")
     toks = apply_bpe(aaa, [("a", "a")]).collect()[0]["tokens"]
     assert toks == ["aa", "a"]
+
+
+def test_apply_bpe_pandas_mode_equals_expr_mode(spark):
+    """The constant-plan-size Arrow arm (for 32k-merge production
+    tokenizers) produces exactly the expression-fold arm's output."""
+    from warctools_spark.operators.bpe import apply_bpe, bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    merges, _ = bpe_train(docs, n_merges=6)
+    a = {r["doc_id"]: r["tokens"]
+         for r in apply_bpe(docs, merges, mode="expr").collect()}
+    b = {r["doc_id"]: r["tokens"]
+         for r in apply_bpe(docs, merges, mode="pandas").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="unknown mode"):
+        apply_bpe(docs, merges, mode="nope")

@@ -18,6 +18,7 @@ implementation in tests/test_round4_fixes.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -123,21 +124,73 @@ def bpe_train(
     return merges, segs
 
 
+def _segment_word_py(word: str, merges: list[tuple[str, str]]) -> list:
+    """Reference-exact python segmentation (same greedy fold as
+    merge_pair), used by the pandas inference arm."""
+    s: list = list(word)
+    for x, y in merges:
+        out: list = []
+        p = None
+        for cur in s:
+            if p is None:
+                p = cur
+            elif p == x and cur == y:
+                out.append(x + y)
+                p = None
+            else:
+                out.append(p)
+                p = cur
+        if p is not None:
+            out.append(p)
+        s = out
+    return s
+
+
 def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    mode: str = "auto",
 ) -> DataFrame:
     """Segment documents with a trained merge list: whitespace words ->
     chars -> merges applied IN TRAINING ORDER (the BPE inference
-    rule). Pure JVM: one nested fold per merge, no Python per token.
-    Returns (id, tokens array<string>, n_bpe_tokens)."""
+    rule). Returns (id, tokens array<string>, n_bpe_tokens).
+
+    Two physical modes, equal output (tested): "expr" chains one JVM
+    fold per merge — zero Python, but the expression tree grows with
+    len(merges), so it is the wrong plan for a production 32k-merge
+    tokenizer; "pandas" is one Arrow-batched UDF with a per-batch
+    memoized word->segmentation dict (Zipf makes the hit rate high),
+    constant plan size at any merge count. "auto" picks expr below
+    64 merges."""
     from warctools_spark.operators.text_analysis import tokens
 
-    word_syms = chars(F.col("__w"))
-    for x, y in merges:
-        word_syms = merge_pair(word_syms, x, y)
+    if mode == "auto":
+        mode = "expr" if len(merges) < 64 else "pandas"
+    if mode not in ("expr", "pandas"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    if mode == "expr":
+        word_syms = chars(F.col("__w"))
+        for x, y in merges:
+            word_syms = merge_pair(word_syms, x, y)
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        merge_list = [tuple(m) for m in merges]
+
+        @pandas_udf("array<string>")
+        def _seg(words: pd.Series) -> pd.Series:
+            cache: dict = {}
+
+            def seg(w):
+                if w not in cache:
+                    cache[w] = _segment_word_py(w, merge_list)
+                return cache[w]
+
+            return words.map(seg)
+
+        word_syms = _seg(F.col("__w"))
     exploded = docs.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("__wpos", "__w"),
