@@ -1375,6 +1375,14 @@ def _q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    """Per-doc mean bigram conditional negative log-prob under the
+    corpus's own bigram model — the order-sensitive fluency proxy."""
+    from warctools_spark.operators.text_analysis import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_ngram_containment(spark, sf_dir):
     """Asymmetric 3-gram containment (+jaccard) for consecutive-id
     pairs — the quote/partial-copy detector Jaccard misses."""
@@ -1423,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "ivf_kmeans_topk": _q_ivf_kmeans_topk,
         "ngram_containment": _q_ngram_containment,
+        "bigram_logprob": _q_bigram_logprob,
         # --- certified only by r02: rotate in so no entry's newest
         # certification is older than 2 rounds ---
         "token_frequencies": _q_token_frequencies,
@@ -1466,7 +1475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harvest_links": _q_harvest_links,
         "extract_text": _q_extract_text,
         "dedup_clusters": _q_dedup_clusters,
-        "training_corpus": _q_training_corpus,
         "rag_corpus": _q_rag_corpus,
         # --- past the driver's 50-entry window: every entry below is
         # driver-green in CORRECTNESS_r03.json, unchanged since, and
@@ -1507,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "remove_duplicate_spans": _q_remove_duplicate_spans,
         "duplicate_spans": _q_duplicate_spans,
+        "training_corpus": _q_training_corpus,
     }
 
 
@@ -3316,6 +3325,27 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-ln(n / CAST(t AS DOUBLE))), 4)
                        AS mean_neg_logprob
             FROM tk2 JOIN freq USING (token) CROSS JOIN tt
+            GROUP BY doc_id
+        """,
+        "bigram_logprob": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                    FROM t WHERE len(w) >= 2)
+              WHERE w[i] <> '' AND w[i + 1] <> ''
+            ),
+            c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg
+                    GROUP BY w1, w2),
+            c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(-ln(n12 / CAST(n1 AS DOUBLE))), 4)
+                       AS mean_neg_logprob2
+            FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
             GROUP BY doc_id
         """,
         "tfidf_keywords": """

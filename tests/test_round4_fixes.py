@@ -607,3 +607,33 @@ def test_apply_bpe_pandas_mode_equals_expr_mode(spark):
     assert a == b
     with pytest.raises(ValueError, match="unknown mode"):
         apply_bpe(docs, merges, mode="nope")
+
+
+def test_bigram_logprob_semantics(spark):
+    """Order sensitivity: a doc whose words appear in the corpus's
+    common ORDER scores lower (more fluent) than the same words
+    scrambled — the signal unigram_logprob cannot see."""
+    import math
+
+    from warctools_spark.operators.text_analysis import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "cat the cat"),  # scrambled: rare transition cat->the
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    # corpus bigram counts: (the,cat)=4, (cat,sat)=2, (cat,ran)=1,
+    # (cat,the)=1; prefix counts: the=4, cat=4
+    # doc0 = mean(-ln(4/4), -ln(2/4)) = ln2 / 2
+    expect0 = round(math.log(2) / 2, 4)
+    assert rows[0]["mean_neg_logprob2"] == expect0
+    assert rows[0]["n_bigrams"] == 2
+    # doc3 = mean(-ln(1/4), -ln(4/4)) = ln4 / 2 — scrambled order
+    # scores strictly worse despite identical unigram content
+    assert rows[3]["mean_neg_logprob2"] == round(math.log(4) / 2, 4)
+    assert rows[3]["mean_neg_logprob2"] > rows[0]["mean_neg_logprob2"]

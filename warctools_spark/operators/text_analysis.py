@@ -821,3 +821,48 @@ def winnow_fingerprints(
         (-F.col("__m.negpos")).cast("long").alias("pos"),
         F.col("__m.h").alias("fingerprint"),
     ).dropDuplicates()
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram negative log-probability under the
+    corpus's own bigram model: mean over a doc's bigrams of
+    -ln( count(w1 w2) / count(w1 as a bigram prefix) ) — the
+    conditional-fluency upgrade of unigram_logprob (CCNet family):
+    common-word sequences in unusual ORDER now score high too.
+
+    Plan: one explode to (doc, w1, w2), two count aggs (map-side
+    combined, shuffles carry distinct bigrams/prefixes not
+    occurrences), two joins back (AQE broadcasts the vocab-sized
+    sides), one per-doc avg. All exact-integer counts; round-4 output
+    for oracle comparison."""
+    toks = tokens(F.col(text_col))
+    z = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+    )
+    bg = (
+        docs.where(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(z).alias("z"))
+        .select(
+            id_col,
+            F.col("z.0").alias("w1"),
+            F.col("z.1").alias("w2"),
+        )
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    neg_lp = -F.log(F.col("n12") / F.col("n1"))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(neg_lp), 4).alias("mean_neg_logprob2"),
+        )
+    )
