@@ -254,10 +254,15 @@ def main():
         cold = times[0]
         # spread over the WARM runs only — the first run's JVM/codegen
         # warmup is reported separately as `queries_cold`, not noise
+        import statistics
+
         warm = times[1:] or times
+        # statistics.median averages the middle pair on even counts —
+        # sorted()[n//2] would report the MAX of 2 warm samples as the
+        # median, biasing the cross-round noise analysis
         spread = {
             "min": round(min(warm), 3),
-            "med": round(sorted(warm)[len(warm) // 2], 3),
+            "med": round(statistics.median(warm), 3),
             "max": round(max(warm), 3),
         }
         return res, round(cold, 3), round(min(times), 3), spread

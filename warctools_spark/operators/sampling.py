@@ -145,7 +145,11 @@ def split_assign(
     u = hash_unit(F.col(id_col), seed)
     items = sorted(weights.items())
     for name, w in items[:-1]:
-        cum += w / total
+        # round the cumulative threshold to 12 decimals: float
+        # accumulation makes 0.05 + 0.9 = 0.9500000000000001, which
+        # would classify a row hashing to exactly u = 0.95 differently
+        # from the documented (and oracle's) literal 0.95 boundary
+        cum = round(cum + w / total, 12)
         cond = u < F.lit(cum)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)

@@ -230,6 +230,10 @@ def _lloyd(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     init_rows = keyed.orderBy(id_col).limit(k).collect()
+    if not init_rows:
+        raise ValueError(
+            "cannot initialize k-means: input has no vectors"
+        )
     if any(r["__v"] is None for r in init_rows):
         raise ValueError(
             "null embedding among the k lowest-id init vectors; drop "
@@ -336,13 +340,27 @@ def ivf_kmeans_topk(
     assigned, centroids = _lloyd(
         emb, n_cells, iterations, id_col, vec_col, 6, "expr"
     )
-    if len(query_vec) != len(next(iter(centroids.values()))):
+    probe = _select_probe_cells(centroids, query_vec, n_probe)
+    cands = assigned.where(F.col("cluster").isin(probe))
+    return brute_force_topk(cands, query_vec, k, id_col, vec_col="__v")
+
+
+def _select_probe_cells(
+    centroids: dict, query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The n_probe cluster ids nearest the query — driver-side
+    left-fold float64 arithmetic (the same order as the SQL oracle's
+    list_sum fold), ties broken on cluster id. Shared by the
+    train-per-call and persisted-index query paths so their probe
+    selection cannot drift apart."""
+    if not centroids:
+        raise ValueError("empty centroid set: no vectors to index")
+    dims = len(next(iter(centroids.values())))
+    if len(query_vec) != dims:
         raise ValueError(
             f"query_vec has {len(query_vec)} dims but centroids have "
-            f"{len(next(iter(centroids.values())))}"
+            f"{dims}"
         )
-    # driver-side probe selection: left-fold float64 arithmetic, the
-    # same order as the SQL oracle's list_sum fold
     ranked = sorted(
         (
             sum((x - y) * (x - y) for x, y in zip(query_vec, c)),
@@ -350,9 +368,7 @@ def ivf_kmeans_topk(
         )
         for cid, c in centroids.items()
     )
-    probe = [cid for _, cid in ranked[:n_probe]]
-    cands = assigned.where(F.col("cluster").isin(probe))
-    return brute_force_topk(cands, query_vec, k, id_col, vec_col="__v")
+    return [cid for _, cid in ranked[:n_probe]]
 
 
 def semdedup_survivors(
@@ -458,14 +474,7 @@ def ivf_index_topk(
     with open(os.path.join(path, "centroids.json")) as f:
         sidecar = json.load(f)
     centroids = {int(c): v for c, v in sidecar["centroids"].items()}
-    ranked = sorted(
-        (
-            sum((x - y) * (x - y) for x, y in zip(query_vec, c)),
-            cid,
-        )
-        for cid, c in centroids.items()
-    )
-    probe = [cid for _, cid in ranked[:n_probe]]
+    probe = _select_probe_cells(centroids, query_vec, n_probe)
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
     cands = vectors.where(F.col("cluster").isin(probe))
     return brute_force_topk(cands, query_vec, k, id_col, vec_col="embedding")

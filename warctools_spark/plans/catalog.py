@@ -168,6 +168,11 @@ class Catalog:
         deleted data."""
         import shutil
 
+        if keep_last < 1:
+            # epochs[:-0] would silently keep everything; and keeping
+            # ZERO snapshots is crawl-state destruction, which should
+            # be an explicit rmtree, not an expiry policy
+            raise ValueError("keep_last must be >= 1")
         epochs = self.list_epochs()
         # the orphan sweep runs even when no manifest expires: rollback
         # leaves newer epochs' data dirs unreferenced on purpose, and

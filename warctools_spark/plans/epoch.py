@@ -324,12 +324,29 @@ def run_crawl(
         )
         # Resume path: the filter table is checkpointed per epoch, so a
         # new driver process restores it in O(n_buckets) instead of
-        # paying the O(|seen|) rebuild. Falls back to rebuild when
-        # absent or when (m, k, version) mismatch the requested params.
-        if catalog is not None:
+        # paying the O(|seen|) rebuild. Restore ONLY when actually
+        # resuming (initial_state supplied): a fresh crawl over a
+        # non-empty catalog (new seed list, reused directory) has a
+        # `seen` the persisted filter does NOT cover, and a filter
+        # missing keys makes the Bloom-negative fast path emit
+        # duplicates into the append-only deltas — corrupting the
+        # disjointness invariant compaction relies on. The seen_size
+        # recorded in the latest manifest must also match the restored
+        # state's row count, catching caller-supplied initial_state
+        # that did not come from this catalog's snapshot.
+        if catalog is not None and initial_state is not None:
             bloom = restore_bloom(
                 spark, catalog, m_bits, k_hashes, bloom_n_buckets
             )
+            if bloom is not None:
+                e0 = catalog.latest_epoch()
+                committed = (
+                    catalog.read_manifest(e0)["metrics"].get("seen_size")
+                    if e0 is not None
+                    else None
+                )
+                if committed is None or committed != seen.count():
+                    bloom = None  # state drift: rebuild from `seen`
         if bloom is None:
             bloom = SEEN.build_bloom(
                 seen,

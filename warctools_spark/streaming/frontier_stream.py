@@ -146,11 +146,11 @@ def sessionize_stream(
 def stream_frontier_durable(
     links: DataFrame,
     catalog,
+    checkpoint: str,
     k_per_host: int = 10,
     bloom_n_buckets: int = 32,
     bloom_capacity_per_bucket: int = 1 << 16,
     bloom_fpr: float = 0.01,
-    checkpoint: str = "",
     sink=None,
     trigger_available_now: bool = True,
 ):
@@ -160,18 +160,27 @@ def stream_frontier_durable(
     politeness schedule — and commits (seen delta, updated filter,
     schedule) as a catalog snapshot keyed by the batch id.
 
-    Exactly-once effect across restarts WITHOUT relying on the sink:
-    a replayed batch id (streaming checkpoint behind the catalog
-    state) finds its snapshot already committed and skips — the
-    manifest commit is the idempotence barrier, the same contract the
-    batch run_crawl uses for crash-exact resume. The Bloom filter is
-    restored from the previous snapshot (O(n_buckets)) and updated
-    incrementally with the batch's fresh keys — no O(|seen|) work per
-    batch at any corpus size.
+    STATE is exactly-once across restarts without relying on the
+    sink: a replayed batch id (streaming checkpoint behind the
+    catalog state) finds its snapshot already committed, skips the
+    recompute, and RE-DELIVERS the committed schedule to the sink
+    from the snapshot — so sink delivery is at-least-once with
+    snapshot-exact data (make the sink idempotent on batch_id for
+    end-to-end exactly-once; schedule is part of every snapshot
+    precisely so a crash between commit and sink cannot lose it).
+    The Bloom filter is restored from the previous snapshot
+    (O(n_buckets)) and updated incrementally with the batch's fresh
+    keys — no O(|seen|) work per batch at any corpus size.
+
+    The catalog must be DEDICATED to this stream: snapshots are keyed
+    by foreachBatch batch id, so a catalog holding batch-run_crawl
+    epochs (manifests without a batch_id metric) raises instead of
+    silently skipping live batches whose ids collide with old epochs.
 
     `links` rows need the queue columns (url_sha1, canon_url, host,
     depth); `sink(schedule_df, batch_id)` receives each batch's
     scheduled rows."""
+    import os
     from warctools_spark.operators import frontier as FR
     from warctools_spark.operators import seen as SEEN
     from warctools_spark.plans.epoch import restore_bloom
@@ -183,8 +192,30 @@ def stream_frontier_durable(
     def _process(batch_df, batch_id):
         spark = batch_df.sparkSession
         latest = catalog.latest_epoch()
+        if os.path.exists(catalog.manifest_path(batch_id)):
+            # replay of a committed batch: the snapshot is the
+            # barrier. Guard against a non-dedicated catalog (batch
+            # run_crawl epochs colliding with stream batch ids), then
+            # re-deliver the committed schedule so a crash between
+            # commit and sink cannot lose output.
+            m = catalog.read_manifest(batch_id)
+            if "batch_id" not in m.get("metrics", {}):
+                raise ValueError(
+                    f"catalog at {catalog.root!r} holds non-streaming "
+                    f"snapshot {batch_id}; stream_frontier_durable "
+                    "needs a dedicated catalog"
+                )
+            if sink is not None:
+                sink(catalog.read_table(spark, "schedule", batch_id),
+                     batch_id)
+            return
         if latest is not None and latest >= batch_id:
-            return  # replay of a committed batch: snapshot is the barrier
+            raise ValueError(
+                f"catalog at {catalog.root!r} already holds epoch "
+                f"{latest} >= batch id {batch_id} with no snapshot for "
+                "this batch — it was not written by this stream; use a "
+                "dedicated catalog"
+            )
         parts = catalog.seen_parts(latest if latest is not None else -1)
         seen = (
             spark.read.parquet(*parts).select("url_sha1")
@@ -234,6 +265,9 @@ def stream_frontier_durable(
                 fresh.select("url_sha1"), "seen_delta", batch_id,
                 bucket_col=None,
             ),
+            # schedule rides in the snapshot so a crash between commit
+            # and sink can re-deliver it instead of losing it
+            catalog.write_table(sched, "schedule", batch_id),
             {
                 **catalog.write_table(
                     bloom, "bloom", batch_id, bucket_col=None
