@@ -292,3 +292,57 @@ def test_stream_frontier_durable_two_batches_and_replay(spark, tmp_path):
     assert cat.list_epochs() == [0, 1]  # nothing re-committed
     assert {e: cat.read_manifest(e)["committed_at"]
             for e in cat.list_epochs()} == before
+
+
+def test_stream_frontier_durable_redelivers_after_sink_crash(spark, tmp_path):
+    """The crash window the round-4 review found: state committed but
+    the process dies before sink delivery. The sink raising after
+    commit fails the batch (offsets uncommitted); the restart replays
+    it, finds the snapshot, and RE-DELIVERS the committed schedule —
+    no recompute, no duplicate state, no lost output."""
+    import os
+
+    from warctools_spark.plans.catalog import Catalog
+    from warctools_spark.streaming.frontier_stream import (
+        stream_frontier_durable,
+    )
+
+    schema = "url_sha1 string, canon_url string, host string, depth int"
+    src = str(tmp_path / "links")
+    os.makedirs(src)
+    rows = [(f"{i:040x}", f"http://h.example.com/{i}", "h.example.com", 1)
+            for i in range(12)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + "/b0")
+
+    cat = Catalog(str(tmp_path / "cat"), n_buckets=8)
+    delivered = []
+
+    def crashing_sink(df, batch_id):
+        raise RuntimeError("sink died after commit")
+
+    q = stream_frontier_durable(
+        spark.readStream.schema(schema).parquet(src + "/b*"),
+        cat, checkpoint=str(tmp_path / "ckpt"), k_per_host=100,
+        sink=crashing_sink,
+    )
+    with pytest.raises(Exception, match="sink died"):
+        q.awaitTermination(120)
+    # state committed before the sink crash
+    assert cat.list_epochs() == [0]
+    committed_at = cat.read_manifest(0)["committed_at"]
+
+    def good_sink(df, batch_id):
+        delivered.append(
+            (batch_id, sorted(r["url_sha1"] for r in df.collect()))
+        )
+
+    q2 = stream_frontier_durable(
+        spark.readStream.schema(schema).parquet(src + "/b*"),
+        cat, checkpoint=str(tmp_path / "ckpt"), k_per_host=100,
+        sink=good_sink,
+    )
+    q2.awaitTermination(120)
+    # replay re-delivered the SNAPSHOT's schedule without re-committing
+    assert delivered == [(0, sorted(r[0] for r in rows))]
+    assert cat.list_epochs() == [0]
+    assert cat.read_manifest(0)["committed_at"] == committed_at
