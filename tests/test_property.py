@@ -467,9 +467,12 @@ def test_duplicate_spans_are_disjoint_and_in_bounds(spark, corpora, k):
 
 @settings(max_examples=15, deadline=None)
 @given(
-    st.text(alphabet="abcd ", min_size=12, max_size=60),
-    st.text(alphabet="abcd ", min_size=0, max_size=20),
-    st.text(alphabet="abcd ", min_size=0, max_size=20),
+    # beyond [a-d ]: digits, punctuation and non-ASCII codepoints
+    # exercise substr/md5 codepoint parity between Spark and the
+    # python reference
+    st.text(alphabet="abcd19.,-éß界 ", min_size=12, max_size=60),
+    st.text(alphabet="abcd19.,-éß界 ", min_size=0, max_size=20),
+    st.text(alphabet="abcd19.,-éß界 ", min_size=0, max_size=20),
 )
 def test_winnowing_shared_substring_guarantee(spark, shared, pre, post):
     """The winnowing guarantee (Schleimer et al. 2003, theorem 1):
