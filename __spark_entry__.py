@@ -1375,6 +1375,17 @@ def _q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
 
 
+def _q_winnow_match_scores(spark, sf_dir):
+    """MOSS-style copy/quote candidate pairs: docs sharing >= 3
+    winnowing fingerprints (df-gated self-join), scored by the count
+    of distinct shared fingerprints."""
+    from warctools_spark.operators.text_analysis import winnow_match_scores
+
+    return winnow_match_scores(
+        _docs(spark, sf_dir), k=8, w=4, min_shared=3, max_doc_freq=100
+    )
+
+
 def _q_bigram_logprob(spark, sf_dir):
     """Per-doc mean bigram conditional negative log-prob under the
     corpus's own bigram model — the order-sensitive fluency proxy."""
@@ -1432,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_topk": _q_ivf_kmeans_topk,
         "ngram_containment": _q_ngram_containment,
         "bigram_logprob": _q_bigram_logprob,
+        "winnow_match_scores": _q_winnow_match_scores,
         # --- certified only by r02: rotate in so no entry's newest
         # certification is older than 2 rounds ---
         "token_frequencies": _q_token_frequencies,
@@ -1474,7 +1486,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_decode": _q_http_decode,
         "harvest_links": _q_harvest_links,
         "extract_text": _q_extract_text,
-        "dedup_clusters": _q_dedup_clusters,
         "rag_corpus": _q_rag_corpus,
         # --- past the driver's 50-entry window: every entry below is
         # driver-green in CORRECTNESS_r03.json, unchanged since, and
@@ -1516,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": _q_remove_duplicate_spans,
         "duplicate_spans": _q_duplicate_spans,
         "training_corpus": _q_training_corpus,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -1617,6 +1629,37 @@ cand AS (
 # deterministic Lloyd k-means over the embeddings table (k=8, init =
 # vec_id 0..7, one round-6 centroid update); ends at d2t(vec_id,
 # cluster, d2) = squared distance to every updated centroid
+# winnowing fingerprints (k=8, w=4): per-window struct min =
+# (hash, rightmost pos), encoded as 'h:pos' strings because
+# list_distinct over structs is unsupported; shared by the
+# winnow_fingerprints and winnow_match_scores oracles
+_WINNOW_CTE = """
+            WITH d AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                         AS s
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(s) - 8 + 2),
+                       i -> {'h': md5(substr(s, i, 8)),
+                             'negpos': -i}) AS grams
+              FROM d WHERE length(s) >= 8
+            ),
+            sel AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       list_transform(
+                         range(1, greatest(len(grams) - 3, 1) + 1),
+                         j -> list_min(list_slice(grams, j, j + 3))),
+                       m -> m.h || ':'
+                            || CAST(-m.negpos AS VARCHAR))) AS fps
+              FROM g
+            )
+"""
+
+
 _KMEANS_CTE = """
             WITH e AS (
               SELECT vec_id,
@@ -2513,37 +2556,35 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE u < f
         """,
-        "winnow_fingerprints": """
-            WITH d AS (
-              SELECT doc_id,
-                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
-                         AS s
-              FROM documents
-            ),
-            g AS (
-              SELECT doc_id,
-                     list_transform(range(1, length(s) - 8 + 2),
-                       i -> {'h': md5(substr(s, i, 8)),
-                             'negpos': -i}) AS grams
-              FROM d WHERE length(s) >= 8
-            ),
-            -- per-window struct min = (hash, rightmost pos); encoded
-            -- as 'h:pos' strings because list_distinct over structs
-            -- is unsupported
-            sel AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       list_transform(
-                         range(1, greatest(len(grams) - 3, 1) + 1),
-                         j -> list_min(list_slice(grams, j, j + 3))),
-                       m -> m.h || ':'
-                            || CAST(-m.negpos AS VARCHAR))) AS fps
-              FROM g
-            )
+        "winnow_fingerprints": _WINNOW_CTE + """
             SELECT doc_id,
                    CAST(split_part(f, ':', 2) AS BIGINT) AS pos,
                    split_part(f, ':', 1) AS fingerprint
             FROM (SELECT doc_id, unnest(fps) AS f FROM sel)
+        """,
+        "winnow_match_scores": _WINNOW_CTE + """
+            , fp AS (
+              SELECT DISTINCT doc_id,
+                     split_part(f, ':', 1) AS fingerprint
+              FROM (SELECT doc_id, unnest(fps) AS f FROM sel)
+            ),
+            -- df gate: over-common fingerprints are boilerplate, and
+            -- a d-doc fingerprint fans the self-join out d^2 — same
+            -- gate as the Spark operator's max_doc_freq
+            keep AS (
+              SELECT fingerprint FROM (
+                SELECT fingerprint, count(*) AS df
+                FROM fp GROUP BY fingerprint
+              ) WHERE df BETWEEN 2 AND 100
+            ),
+            fpk AS (SELECT fp.* FROM fp JOIN keep USING (fingerprint))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+            FROM fpk a JOIN fpk b
+              ON a.fingerprint = b.fingerprint
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
         """,
         "split_assign": """
             SELECT doc_id,

@@ -663,3 +663,33 @@ def test_review_guards(spark, tmp_path):
     docs = spark.createDataFrame([(1,)], "doc_id long")
     out = split_assign(docs, weights={"a": 0.05, "b": 0.9, "c": 0.05})
     assert out.count() == 1  # runs; numeric boundary pinned by oracle
+
+
+def test_winnow_match_scores_finds_quotes_and_gates_boilerplate(spark):
+    from warctools_spark.operators.text_analysis import winnow_match_scores
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    boiler = "all rights reserved copyright footer text"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro words here {quote} closing remarks {boiler}"),
+            (1, f"different opening {quote} other ending {boiler}"),
+            (2, f"totally unrelated content about something else {boiler}"),
+            (3, "nothing in common with anything at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_match_scores(
+                 docs, k=8, w=4, min_shared=3, max_doc_freq=100
+             ).collect()}
+    assert (0, 1) in pairs  # the shared quote produces >=3 prints
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+    # gate the boilerplate: with max_doc_freq=2 the three-doc footer's
+    # fingerprints are dropped, so doc 2 no longer pairs with anyone
+    gated = {(r["id_a"], r["id_b"])
+             for r in winnow_match_scores(
+                 docs, k=8, w=4, min_shared=3, max_doc_freq=2
+             ).collect()}
+    assert (0, 1) in gated
+    assert not any(2 in p for p in gated)

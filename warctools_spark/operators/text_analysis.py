@@ -866,3 +866,51 @@ def bigram_logprob(
             F.round(F.avg(neg_lp), 4).alias("mean_neg_logprob2"),
         )
     )
+
+
+def winnow_match_scores(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_doc_freq: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-pair match scores from winnowing fingerprints — the
+    MOSS pipeline's pairing stage: two docs sharing >= `min_shared`
+    selected fingerprints are copy/quote candidates, scored by the
+    count of distinct shared fingerprints.
+
+    The quadratic trap and its gate: a fingerprint shared by d docs
+    contributes O(d^2) join rows, and boilerplate fingerprints at web
+    scale have d ~ 10^6 (10^12 pairs from ONE hash). `max_doc_freq`
+    drops fingerprints above the threshold BEFORE the self-join —
+    standard fingerprint-index hygiene (an over-common fingerprint is
+    boilerplate and carries no match signal, exactly like a stopword
+    posting). Bounded join fan-out: <= max_doc_freq per fingerprint.
+    Plan: distinct (doc, fp) projection -> df-count agg (map-side
+    combined) -> df-gated self-join co-partitioned on the fingerprint
+    -> per-pair countDistinct >= min_shared."""
+    fp = (
+        winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
+                            id_col=id_col)
+        .select(id_col, "fingerprint")
+        .distinct()
+    )
+    keep = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("__df"))
+        .where((F.col("__df") >= 2) & (F.col("__df") <= max_doc_freq))
+        .select("fingerprint")
+    )
+    fpk = fp.join(keep, "fingerprint")
+    a = fpk.withColumnRenamed(id_col, "id_a")
+    b = fpk.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
