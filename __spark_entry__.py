@@ -2003,7 +2003,8 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(b.sh), 1), 6)
                        AS containment_b_in_a,
                    round(len(list_intersect(a.sh, b.sh))
-                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+                         / greatest(len(list_distinct(a.sh || b.sh)), 1),
+                         6) AS jaccard
             FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
         """,
         "simhash": f"""

@@ -924,7 +924,10 @@ def ngram_containment(
             ).alias("containment_b_in_a"),
             F.round(
                 inter
-                / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))),
+                / F.greatest(
+                    F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))),
+                    F.lit(1),
+                ),
                 6,
             ).alias("jaccard"),
         )
