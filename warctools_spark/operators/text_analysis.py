@@ -834,11 +834,19 @@ def bigram_logprob(
     conditional-fluency upgrade of unigram_logprob (CCNet family):
     common-word sequences in unusual ORDER now score high too.
 
-    Plan: one explode to (doc, w1, w2), two count aggs (map-side
-    combined, shuffles carry distinct bigrams/prefixes not
-    occurrences), two joins back (AQE broadcasts the vocab-sized
-    sides), one per-doc avg. All exact-integer counts; round-4 output
-    for oracle comparison."""
+    Plan: one explode to (doc, w1, w2), then an immediate per-doc
+    pre-aggregation to (doc, w1, w2, c) BEFORE anything joins — the
+    join-back input is bounded by distinct-bigrams-per-doc, not
+    bigram OCCURRENCES, so the stopword-skewed join keys ("of the"
+    class) carry one row per (doc, bigram) instead of one per
+    occurrence. The corpus count tables derive from the same
+    pre-aggregate (c12 = sum of c; c1 = sum of n12 over the prefix,
+    so AQE reuses the c12 exchange at runtime instead of a third
+    corpus explode), and the
+    per-doc mean becomes the exact weighted mean
+    sum(c * neg_lp) / sum(c), identical to the occurrence average.
+    All exact-integer counts; round-4 output for oracle
+    comparison."""
     toks = tokens(F.col(text_col))
     z = F.arrays_zip(
         F.slice(toks, 1, F.size(toks) - 1),
@@ -854,16 +862,19 @@ def bigram_logprob(
         )
         .where((F.col("w1") != "") & (F.col("w2") != ""))
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    bgc = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("__c"))
+    c12 = bgc.groupBy("w1", "w2").agg(F.sum("__c").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
     neg_lp = -F.log(F.col("n12") / F.col("n1"))
     return (
-        bg.join(c12, ["w1", "w2"])
+        bgc.join(c12, ["w1", "w2"])
         .join(c1, "w1")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.avg(neg_lp), 4).alias("mean_neg_logprob2"),
+            F.sum("__c").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__c") * neg_lp) / F.sum("__c"), 4
+            ).alias("mean_neg_logprob2"),
         )
     )
 
