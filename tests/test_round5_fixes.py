@@ -213,3 +213,115 @@ def test_apply_bpe_keeps_empty_documents(spark):
         assert rows[1]["tokens"] == [] and rows[1]["n_bpe_tokens"] == 0
         assert rows[2]["tokens"] == [] and rows[2]["n_bpe_tokens"] == 0
         assert rows[0]["tokens"] == ["lo", "w", "lo", "w"]
+
+
+def test_catalog_file_scheme_root_full_cycle(spark, tmp_path):
+    """Catalog(root='file://...') exercises the Hadoop FileSystem seam
+    end-to-end (same code path as s3a://): commit, resume, expire,
+    rollback all behave exactly as with a plain local path."""
+    from warctools_spark.plans.catalog import Catalog
+
+    cat = Catalog("file://" + str(tmp_path / "cat"), n_buckets=4)
+    for e in range(3):
+        df = spark.range(e * 10, e * 10 + 10).select(
+            F.md5(F.col("id").cast("string")).alias("url_sha1")
+        )
+        t = cat.write_table(df, "queue", e, bucket_col=None)
+        cat.commit(e, [t], {"queue_size": 10,
+                            "seen_parts": [cat.table_path("queue", e)]})
+    assert cat.list_epochs() == [0, 1, 2]
+    assert cat.latest_epoch() == 2
+    # manifests store root-relative paths; reads resolve them
+    m = cat.read_manifest(2)
+    assert m["tables"][0]["path"] == "queue/epoch=00002"
+    assert cat.seen_parts(2) == [cat.table_path("queue", 2)]
+    assert cat.read_table(spark, "queue", 2).count() == 10
+    res = cat.expire_snapshots(keep_last=2)
+    assert res["expired_epochs"] == [0]
+    assert "queue/epoch=00000" in res["deleted_dirs"]
+    assert cat.read_table(spark, "queue", 1).count() == 10  # kept
+    assert cat.rollback(1) == [2]
+    assert cat.latest_epoch() == 1
+
+
+def test_catalog_respelled_root_resolves_same_references(spark, tmp_path):
+    """Root-relative manifests: reopening the catalog under an
+    equivalent-but-different spelling of the same root must resolve
+    the identical reference set — expire deletes nothing it needs."""
+    from warctools_spark.plans.catalog import Catalog
+
+    plain = str(tmp_path / "cat")
+    cat = Catalog(plain, n_buckets=4)
+    for e in range(2):
+        df = spark.range(10).select(
+            F.md5(F.col("id").cast("string")).alias("url_sha1")
+        )
+        t = cat.write_table(df, "seen_delta", e, bucket_col=None)
+        cat.commit(e, [t], {"seen_parts": [
+            cat.table_path("seen_delta", i) for i in range(e + 1)
+        ]})
+    # reopen under file:// spelling — every epoch-1 reference (which
+    # reaches BACK into epoch 0's delta) must survive expiry
+    cat2 = Catalog("file://" + plain, n_buckets=4)
+    res = cat2.expire_snapshots(keep_last=1)
+    assert res["expired_epochs"] == [0]
+    assert res["deleted_dirs"] == []  # epoch-0 delta still referenced
+    assert cat2.read_table(spark, "seen_delta", 0).count() == 10
+
+
+def test_catalog_expire_refuses_when_references_resolve_nowhere(
+    spark, tmp_path
+):
+    """Belt-and-braces guard: if surviving manifests reference zero
+    existing paths (legacy absolute spellings under a root that no
+    longer matches), the sweep must refuse rather than delete live
+    crawl state."""
+    import json
+
+    from warctools_spark.plans.catalog import Catalog
+
+    root = tmp_path / "cat"
+    cat = Catalog(str(root), n_buckets=4)
+    df = spark.range(10).select(
+        F.md5(F.col("id").cast("string")).alias("url_sha1")
+    )
+    cat.write_table(df, "queue", 0, bucket_col=None)
+    # legacy-style manifest: absolute paths under a DIFFERENT root
+    (root / "_manifests").mkdir(parents=True, exist_ok=True)
+    manifest = {
+        "epoch": 0, "n_buckets": 4,
+        "tables": [{"table": "queue",
+                    "path": "/nonexistent/oldroot/queue/epoch=00000"}],
+        "metrics": {},
+    }
+    (root / "_manifests" / "epoch_00000.json").write_text(
+        json.dumps(manifest)
+    )
+    with pytest.raises(RuntimeError, match="refusing to sweep"):
+        cat.expire_snapshots(keep_last=1)
+    # nothing was deleted
+    assert cat.read_table(spark, "queue", 0).count() == 10
+
+
+def test_ivf_index_file_scheme_equals_plain(spark, tmp_path):
+    """build_ivf_index / ivf_index_topk through a file:// path (the
+    Hadoop FS seam) return exactly the plain-path results."""
+    from warctools_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+    q = [0.1] * len(emb.first()["embedding"])
+    p1 = str(tmp_path / "idx_plain")
+    p2 = "file://" + str(tmp_path / "idx_scheme")
+    c1 = build_ivf_index(emb, p1, n_cells=4, iterations=2)
+    c2 = build_ivf_index(emb, p2, n_cells=4, iterations=2)
+    assert c1 == c2
+    r1 = [(r["vec_id"], r["cosine"])
+          for r in ivf_index_topk(spark, p1, q, k=5, n_probe=2).collect()]
+    r2 = [(r["vec_id"], r["cosine"])
+          for r in ivf_index_topk(spark, p2, q, k=5, n_probe=2).collect()]
+    assert r1 == r2

@@ -220,9 +220,11 @@ def test_change_rate_tracker_across_batches(spark, tmp_path):
 def test_stream_frontier_durable_two_batches_and_replay(spark, tmp_path):
     """Streaming twin of the batch epoch: per-micro-batch Bloom-probe
     dedup against catalog state, snapshot commit per batch, and the
-    manifest as the exactly-once barrier — a replay with stale
-    streaming state (checkpoint deleted, catalog kept) commits
-    nothing twice."""
+    manifest as the exactly-once barrier. A RECREATED checkpoint with
+    a kept catalog is a batch-id collision, not a replay: batch ids
+    restart at 0, so skipping them would re-deliver stale schedules
+    and silently drop whatever the new batches contained — the stream
+    must refuse (stream_id guard) and leave the catalog untouched."""
     import os
 
     from warctools_spark.plans.catalog import Catalog
@@ -275,8 +277,13 @@ def test_stream_frontier_durable_two_batches_and_replay(spark, tmp_path):
     # every batch snapshot carries the filter table
     assert any(t["table"] == "bloom" for t in m1["tables"])
 
-    # replay with stale streaming state: checkpoint wiped, catalog kept
+    # recreated checkpoint, catalog kept: batch ids restart at 0 and
+    # collide with committed snapshots — these are NEW batches from a
+    # DIFFERENT stream (new query id), so the guard must refuse
+    # instead of misreading them as replays
     import shutil
+
+    from pyspark.errors import StreamingQueryException
 
     shutil.rmtree(str(tmp_path / "ckpt"))
     before = {e: cat.read_manifest(e)["committed_at"]
@@ -288,8 +295,10 @@ def test_stream_frontier_durable_two_batches_and_replay(spark, tmp_path):
         cat, k_per_host=100,
         checkpoint=str(tmp_path / "ckpt2"), sink=sink,
     )
-    q2.awaitTermination(120)
-    assert cat.list_epochs() == [0, 1]  # nothing re-committed
+    with pytest.raises(StreamingQueryException, match="NOT a replay"):
+        q2.awaitTermination(120)
+        raise AssertionError("stream should have failed")
+    assert cat.list_epochs() == [0, 1]  # catalog untouched
     assert {e: cat.read_manifest(e)["committed_at"]
             for e in cat.list_epochs()} == before
 

@@ -430,9 +430,14 @@ def build_ivf_index(
     inverted-file layout) plus a centroids sidecar. Train once, query
     many — each query then reads only its probed cells' partitions
     (see ivf_index_topk, partition pruning plan-asserted in tests).
-    Returns the centroid dict {cluster: [floats]}."""
+    Returns the centroid dict {cluster: [floats]}.
+
+    Sidecar + vectors I/O goes through the Hadoop FileSystem resolved
+    from `path` (plans/fs.py), so path="s3a://bucket/index" is the
+    same code path as the local stand-in."""
     import json
-    import os
+
+    from warctools_spark.plans.fs import HadoopFS
 
     assigned, centroids = _lloyd(
         emb, n_cells, iterations, id_col, vec_col, 6, "expr"
@@ -441,16 +446,16 @@ def build_ivf_index(
         assigned.select(id_col, "cluster", F.col("__v").alias("embedding"))
         .write.mode("overwrite")
         .partitionBy("cluster")
-        .parquet(os.path.join(path, "vectors"))
+        .parquet(path.rstrip("/") + "/vectors")
     )
     sidecar = {
         "n_cells": n_cells,
         "centroids": {str(c): v for c, v in centroids.items()},
     }
-    tmp = os.path.join(path, "centroids.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(sidecar, f)
-    os.replace(tmp, os.path.join(path, "centroids.json"))
+    fs = HadoopFS(emb.sparkSession, path)
+    fs.write_text_atomic(
+        path.rstrip("/") + "/centroids.json", json.dumps(sidecar)
+    )
     return centroids
 
 
@@ -469,12 +474,13 @@ def ivf_index_topk(
     Identical results to the train-per-call ivf_kmeans_topk at the
     same parameters (tested)."""
     import json
-    import os
 
-    with open(os.path.join(path, "centroids.json")) as f:
-        sidecar = json.load(f)
+    from warctools_spark.plans.fs import HadoopFS
+
+    fs = HadoopFS(spark, path)
+    sidecar = json.loads(fs.read_text(path.rstrip("/") + "/centroids.json"))
     centroids = {int(c): v for c, v in sidecar["centroids"].items()}
     probe = _select_probe_cells(centroids, query_vec, n_probe)
-    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    vectors = spark.read.parquet(path.rstrip("/") + "/vectors")
     cands = vectors.where(F.col("cluster").isin(probe))
     return brute_force_topk(cands, query_vec, k, id_col, vec_col="embedding")

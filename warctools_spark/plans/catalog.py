@@ -13,30 +13,71 @@ Iceberg would give us:
 * manifests carry row counts + per-partition lineage metrics, so a
   resumed run can verify it sees exactly the state the failed run
   committed (north_rule: exact resume with per-partition lineage).
+
+All catalog I/O goes through the Hadoop FileSystem resolved from the
+root (plans/fs.py), so `Catalog(root="s3a://bucket/crawl")` is the
+same code path as the local stand-in. Manifests record table paths
+ROOT-RELATIVE: a catalog reopened under any equivalent spelling of the
+same root (relative vs absolute, symlinked, re-mounted) resolves the
+identical reference set — the failure mode where a respelled root made
+every referenced path "unreferenced" and expire_snapshots swept live
+crawl state cannot occur, and a belt-and-braces guard refuses to sweep
+when surviving references match nothing on disk.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from warctools_spark.plans.fs import HadoopFS
+
 
 class Catalog:
     def __init__(self, root: str, n_buckets: int = 32):
-        self.root = root
+        self.root = root.rstrip("/")
         self.n_buckets = n_buckets
-        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+        self._fs: HadoopFS | None = None
+
+    @property
+    def fs(self) -> HadoopFS:
+        """Lazily-resolved Hadoop FileSystem for the root (needs an
+        active SparkSession — resolved on first I/O, not construction)."""
+        if self._fs is None:
+            self._fs = HadoopFS(SparkSession.getActiveSession(), self.root)
+        return self._fs
 
     # ---- paths ----
+    def _join(self, *parts: str) -> str:
+        return "/".join([self.root, *parts])
+
+    def _rel(self, path: str) -> str:
+        """Canonical root-relative form of a referenced path. Absolute
+        legacy spellings under the current root are stripped; anything
+        else (external or differently-spelled legacy) passes through
+        unchanged and is handled by the zero-match sweep guard."""
+        p = path.rstrip("/")
+        if p.startswith(self.root + "/"):
+            return p[len(self.root) + 1:]
+        return p
+
+    def _abs(self, path: str) -> str:
+        """Resolve a manifest-recorded path to a readable location."""
+        if "://" in path or path.startswith("/"):
+            return path
+        return self._join(path)
+
     def table_path(self, table: str, epoch: int) -> str:
-        return os.path.join(self.root, table, f"epoch={epoch:05d}")
+        return self._join(table, f"epoch={epoch:05d}")
 
     def manifest_path(self, epoch: int) -> str:
-        return os.path.join(self.root, "_manifests", f"epoch_{epoch:05d}.json")
+        return self._join("_manifests", f"epoch_{epoch:05d}.json")
+
+    def manifest_exists(self, epoch: int) -> bool:
+        return self.fs.exists(self.manifest_path(epoch))
 
     # ---- commit ----
     def write_table(
@@ -59,18 +100,26 @@ class Catalog:
     def commit(self, epoch: int, tables: list[dict], metrics: dict) -> None:
         """Atomic-enough snapshot commit: the manifest is written last,
         via rename, so a crash mid-epoch leaves the previous manifest as
-        the latest consistent snapshot."""
+        the latest consistent snapshot. Table paths (and the seen_parts
+        metric) are stored root-relative — see the module docstring."""
+        metrics = dict(metrics)
+        if "seen_parts" in metrics:
+            metrics["seen_parts"] = [
+                self._rel(p) for p in metrics["seen_parts"]
+            ]
         manifest = {
             "epoch": epoch,
             "committed_at": time.time(),
             "n_buckets": self.n_buckets,
-            "tables": tables,
+            "tables": [
+                {**t, "path": self._rel(t["path"])} for t in tables
+            ],
             "metrics": metrics,
         }
-        tmp = self.manifest_path(epoch) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2)
-        os.replace(tmp, self.manifest_path(epoch))
+        self.fs.mkdirs(self._join("_manifests"))
+        self.fs.write_text_atomic(
+            self.manifest_path(epoch), json.dumps(manifest, indent=2)
+        )
 
     def seen_parts(self, epoch: int) -> list[str]:
         """The parquet paths whose union is the seen set at `epoch`
@@ -79,7 +128,7 @@ class Catalog:
         if epoch < 0:
             return []
         m = self.read_manifest(epoch)
-        return list(m["metrics"].get("seen_parts", []))
+        return [self._abs(p) for p in m["metrics"].get("seen_parts", [])]
 
     # ---- bucketed tables (storage-partitioned joins) ----
     def write_bucketed_table(
@@ -112,17 +161,18 @@ class Catalog:
 
     # ---- resume ----
     def latest_epoch(self) -> int | None:
-        mdir = os.path.join(self.root, "_manifests")
         epochs = [
             int(name[len("epoch_") : -len(".json")])
-            for name in os.listdir(mdir)
+            for name in self.fs.listdir(self._join("_manifests"))
             if name.startswith("epoch_") and name.endswith(".json")
         ]
         return max(epochs) if epochs else None
 
     def read_manifest(self, epoch: int) -> dict:
-        with open(self.manifest_path(epoch)) as f:
-            return json.load(f)
+        path = self.manifest_path(epoch)
+        if not self.fs.exists(path):
+            raise FileNotFoundError(path)
+        return json.loads(self.fs.read_text(path))
 
     def read_table(self, spark: SparkSession, table: str, epoch: int) -> DataFrame:
         df = spark.read.parquet(self.table_path(table, epoch))
@@ -131,25 +181,25 @@ class Catalog:
 
     # ---- snapshot maintenance (the Iceberg expire/rollback story) ----
     def list_epochs(self) -> list[int]:
-        mdir = os.path.join(self.root, "_manifests")
         return sorted(
             int(name[len("epoch_"): -len(".json")])
-            for name in os.listdir(mdir)
+            for name in self.fs.listdir(self._join("_manifests"))
             if name.startswith("epoch_") and name.endswith(".json")
         )
 
     def referenced_paths(self, epochs: list[int]) -> set:
-        """Every physical path any of `epochs`' manifests still needs:
-        the epoch's own table dirs plus the seen parts its snapshot
-        references — which, under append-only seen storage, reach BACK
-        into older epochs' seen_delta dirs."""
+        """Every physical path any of `epochs`' manifests still needs
+        (canonical root-relative form): the epoch's own table dirs plus
+        the seen parts its snapshot references — which, under
+        append-only seen storage, reach BACK into older epochs'
+        seen_delta dirs."""
         refs: set = set()
         for e in epochs:
             m = self.read_manifest(e)
             for t in m.get("tables", []):
-                refs.add(os.path.normpath(t["path"]))
+                refs.add(self._rel(t["path"]))
             for p in m["metrics"].get("seen_parts", []):
-                refs.add(os.path.normpath(p))
+                refs.add(self._rel(p))
         return refs
 
     def expire_snapshots(self, keep_last: int = 8) -> dict:
@@ -162,16 +212,18 @@ class Catalog:
         deleted only if NO surviving manifest references it, so the
         append-only seen deltas a compacted-or-not latest snapshot
         still needs always survive, and `resume_state` after expiry is
-        byte-identical to before. Manifests are removed first, data
-        dirs second — a crash in between leaves only unreferenced
+        byte-identical to before. References are compared in canonical
+        root-relative form, and if surviving references resolve to
+        ZERO existing directories (a legacy manifest written under a
+        different root spelling), the sweep refuses to delete anything
+        rather than orphan live state. Manifests are removed first,
+        data dirs second — a crash in between leaves only unreferenced
         orphan dirs (re-run to finish), never a manifest pointing at
         deleted data."""
-        import shutil
-
         if keep_last < 1:
             # epochs[:-0] would silently keep everything; and keeping
             # ZERO snapshots is crawl-state destruction, which should
-            # be an explicit rmtree, not an expiry policy
+            # be an explicit delete, not an expiry policy
             raise ValueError("keep_last must be >= 1")
         epochs = self.list_epochs()
         # the orphan sweep runs even when no manifest expires: rollback
@@ -180,25 +232,29 @@ class Catalog:
         expired = epochs[:-keep_last] if len(epochs) > keep_last else []
         kept = epochs[len(expired):]
         keep_refs = self.referenced_paths(kept)
+        if keep_refs and not any(
+            self.fs.exists(self._abs(r)) for r in keep_refs
+        ):
+            raise RuntimeError(
+                "expire_snapshots: surviving manifests reference zero "
+                "existing paths under %r — refusing to sweep (catalog "
+                "opened under a different root spelling than the one "
+                "that committed?)" % self.root
+            )
         for e in expired:
-            os.remove(self.manifest_path(e))
+            self.fs.delete(self.manifest_path(e), recursive=False)
         deleted = []
-        for table in sorted(os.listdir(self.root)):
-            tdir = os.path.join(self.root, table)
+        for table in self.fs.listdir_dirs(self.root):
             # *_bucketed dirs belong to the Spark metastore (saveAsTable),
             # not the snapshot manifests — outside this contract; drop
             # them with DROP TABLE, not a file sweep
-            if (
-                table == "_manifests"
-                or table.endswith("_bucketed")
-                or not os.path.isdir(tdir)
-            ):
+            if table == "_manifests" or table.endswith("_bucketed"):
                 continue
-            for ep_dir in sorted(os.listdir(tdir)):
-                path = os.path.normpath(os.path.join(tdir, ep_dir))
-                if path not in keep_refs:
-                    shutil.rmtree(path)
-                    deleted.append(path)
+            for ep_dir in self.fs.listdir_dirs(self._join(table)):
+                rel = f"{table}/{ep_dir}"
+                if rel not in keep_refs:
+                    self.fs.delete(self._join(rel), recursive=True)
+                    deleted.append(rel)
         return {"expired_epochs": expired, "deleted_dirs": deleted}
 
     def rollback(self, epoch: int) -> list[int]:
@@ -212,5 +268,5 @@ class Catalog:
         if epoch not in self.list_epochs():
             raise ValueError(f"no snapshot for epoch {epoch}")
         for e in dropped:
-            os.remove(self.manifest_path(e))
+            self.fs.delete(self.manifest_path(e), recursive=False)
         return dropped

@@ -176,34 +176,70 @@ def stream_frontier_durable(
     by foreachBatch batch id, so a catalog holding batch-run_crawl
     epochs (manifests without a batch_id metric) raises instead of
     silently skipping live batches whose ids collide with old epochs.
+    Replay detection is additionally keyed on the stream's persistent
+    query id (the uuid Spark writes to `<checkpoint>/metadata`): if
+    the streaming checkpoint is deleted or relocated while the
+    catalog is kept, batch ids restart at 0 and would collide with
+    old manifests — NEW batches would be misread as replays (stale
+    schedule re-delivered, fresh links silently dropped once the
+    source marks them committed). A manifest whose stream_id does not
+    match the current checkpoint's query id raises instead.
 
     `links` rows need the queue columns (url_sha1, canon_url, host,
     depth); `sink(schedule_df, batch_id)` receives each batch's
     scheduled rows."""
-    import os
+    import json as _json
+
     from warctools_spark.operators import frontier as FR
     from warctools_spark.operators import seen as SEEN
     from warctools_spark.plans.epoch import restore_bloom
+    from warctools_spark.plans.fs import HadoopFS
 
     m_bits, k_hashes = SEEN.optimal_params(
         bloom_capacity_per_bucket, bloom_fpr
     )
+    _sid_cache: dict = {}
+
+    def _stream_id(spark) -> str:
+        """The persistent query id Spark wrote to <checkpoint>/metadata
+        at stream start — stable across restarts FROM this checkpoint,
+        different for a recreated or relocated one."""
+        if "id" not in _sid_cache:
+            fs = HadoopFS(spark, checkpoint)
+            meta = _json.loads(
+                fs.read_text(checkpoint.rstrip("/") + "/metadata")
+            )
+            _sid_cache["id"] = meta["id"]
+        return _sid_cache["id"]
 
     def _process(batch_df, batch_id):
         spark = batch_df.sparkSession
         latest = catalog.latest_epoch()
-        if os.path.exists(catalog.manifest_path(batch_id)):
+        if catalog.manifest_exists(batch_id):
             # replay of a committed batch: the snapshot is the
             # barrier. Guard against a non-dedicated catalog (batch
-            # run_crawl epochs colliding with stream batch ids), then
-            # re-deliver the committed schedule so a crash between
-            # commit and sink cannot lose output.
+            # run_crawl epochs colliding with stream batch ids) and
+            # against a recreated/relocated checkpoint (batch ids
+            # restarted at 0 — these are NEW batches, not replays),
+            # then re-deliver the committed schedule so a crash
+            # between commit and sink cannot lose output.
             m = catalog.read_manifest(batch_id)
             if "batch_id" not in m.get("metrics", {}):
                 raise ValueError(
                     f"catalog at {catalog.root!r} holds non-streaming "
                     f"snapshot {batch_id}; stream_frontier_durable "
                     "needs a dedicated catalog"
+                )
+            committed_sid = m["metrics"].get("stream_id")
+            if committed_sid != _stream_id(spark):
+                raise ValueError(
+                    f"catalog at {catalog.root!r} snapshot {batch_id} "
+                    f"was committed by stream {committed_sid!r}, but "
+                    "the current checkpoint's query id is "
+                    f"{_stream_id(spark)!r} — the checkpoint was "
+                    "recreated or relocated, so this batch id is NOT a "
+                    "replay; refusing to skip it (use a fresh catalog "
+                    "or restore the original checkpoint)"
                 )
             if sink is not None:
                 sink(catalog.read_table(spark, "schedule", batch_id),
@@ -283,6 +319,8 @@ def stream_frontier_durable(
                 "seen_parts": parts
                 + [catalog.table_path("seen_delta", batch_id)],
                 "batch_id": batch_id,
+                "stream_id": _stream_id(spark),
+                "checkpoint": checkpoint,
                 "fresh": n_fresh,
             },
         )
