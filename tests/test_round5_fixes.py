@@ -325,3 +325,37 @@ def test_ivf_index_file_scheme_equals_plain(spark, tmp_path):
     r2 = [(r["vec_id"], r["cosine"])
           for r in ivf_index_topk(spark, p2, q, k=5, n_probe=2).collect()]
     assert r1 == r2
+
+
+def test_rfc9309_specificity_counts_octets_not_chars(spark):
+    """RFC 9309 most-specific-rule precedence is by OCTET count of the
+    pattern. Chosen so character count TIES (where Allow would win)
+    but octet count does not: allow '/caf*z' (6 octets) vs disallow
+    '/caf\u00e9\u00e9' (8 octets, 6 chars) on path '/caf\u00e9\u00e9z'
+    — must be BLOCKED under octets, allowed under the old char count."""
+    from warctools_spark.operators.robots import apply_robots
+
+    frontier = spark.createDataFrame(
+        [("h.example.com", "http://h.example.com/caf\u00e9\u00e9z")],
+        "host string, canon_url string",
+    )
+    robots = spark.createDataFrame(
+        [("h.example.com", ["/caf*z"], ["/caf\u00e9\u00e9"], 0)],
+        "host string, allow array<string>, disallow array<string>, "
+        "crawl_delay_ms long",
+    )
+    out = apply_robots(frontier, robots, match_mode="rfc9309").collect()
+    assert out == []  # longer-in-octets disallow wins
+
+    # ascii control: unchanged semantics
+    robots2 = spark.createDataFrame(
+        [("h.example.com", ["/cafez", "/caf*z"], ["/caf"], 0)],
+        "host string, allow array<string>, disallow array<string>, "
+        "crawl_delay_ms long",
+    )
+    frontier2 = spark.createDataFrame(
+        [("h.example.com", "http://h.example.com/cafez")],
+        "host string, canon_url string",
+    )
+    out2 = apply_robots(frontier2, robots2, match_mode="rfc9309").collect()
+    assert len(out2) == 1

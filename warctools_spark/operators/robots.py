@@ -110,9 +110,14 @@ def apply_robots(
 
         @pandas_udf("array<struct<plen:int,rx:string>>")
         def _compile(pats: pd.Series) -> pd.Series:
+            # RFC 9309 §2.2.2: most-specific = most OCTETS, not most
+            # characters — multi-byte UTF-8 patterns must weigh their
+            # encoded length or mixed-script allow/disallow precedence
+            # flips
             return pats.apply(
                 lambda arr: [
-                    {"plen": len(p), "rx": _rfc9309_regex(p)}
+                    {"plen": len(p.encode("utf-8")),
+                     "rx": _rfc9309_regex(p)}
                     for p in (arr if arr is not None else [])
                 ]
             )
