@@ -355,3 +355,102 @@ def test_stream_frontier_durable_redelivers_after_sink_crash(spark, tmp_path):
     assert delivered == [(0, sorted(r[0] for r in rows))]
     assert cat.list_epochs() == [0]
     assert cat.read_manifest(0)["committed_at"] == committed_at
+
+
+def test_stream_frontier_durable_expire_between_batches(
+    spark, tmp_path, monkeypatch
+):
+    """Round-5 brief #6: expire_snapshots runs against a durable
+    stream's catalog BETWEEN micro-batches. The expiry must preserve
+    every seen delta the surviving snapshot references (dedup stays
+    exact), a crash-replay after expiry must re-deliver the newest
+    committed schedule from its snapshot, and no batch may ever
+    rebuild the Bloom filter from the full seen set (restore +
+    delta-only updates, exactly one build_bloom call per live batch)."""
+    import os
+
+    from warctools_spark.operators import seen as SEEN
+    from warctools_spark.plans.catalog import Catalog
+    from warctools_spark.streaming.frontier_stream import (
+        stream_frontier_durable,
+    )
+
+    calls = []
+    real_build = SEEN.build_bloom
+
+    def counting_build(df, **kw):
+        calls.append(1)
+        return real_build(df, **kw)
+
+    monkeypatch.setattr(SEEN, "build_bloom", counting_build)
+
+    def rows(ids):
+        return [
+            (f"{i:040x}", f"http://h{i % 3}.example.com/{i}",
+             f"h{i % 3}.example.com", 1)
+            for i in ids
+        ]
+
+    schema = "url_sha1 string, canon_url string, host string, depth int"
+    src = str(tmp_path / "links")
+    os.makedirs(src)
+    spark.createDataFrame(rows(range(20)), schema).coalesce(1)\
+        .write.parquet(src + "/b0")
+    spark.createDataFrame(rows(range(10, 30)), schema).coalesce(1)\
+        .write.parquet(src + "/b1")
+
+    cat = Catalog(str(tmp_path / "cat"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    delivered = []
+
+    def sink(df, batch_id):
+        delivered.append(
+            (batch_id, sorted(r["url_sha1"] for r in df.collect()))
+        )
+
+    def run(s):
+        q = stream_frontier_durable(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src + "/b*"),
+            cat, checkpoint=ckpt, k_per_host=100, sink=s,
+        )
+        q.awaitTermination(120)
+
+    run(sink)
+    assert cat.list_epochs() == [0, 1]
+    # batch 0 full build (empty seen -> restore_bloom None) + delta,
+    # batch 1 restore + delta only
+    n_after_two = len(calls)
+    assert n_after_two == 3
+
+    # ---- expire between micro-batches ----
+    res = cat.expire_snapshots(keep_last=1)
+    assert res["expired_epochs"] == [0]
+    # epoch 1's snapshot references epoch 0's seen delta: it survives
+    assert "seen_delta/epoch=00000" not in res["deleted_dirs"]
+    assert "schedule/epoch=00000" in res["deleted_dirs"]
+
+    # ---- next batch: sink crashes AFTER commit ----
+    spark.createDataFrame(rows(range(25, 40)), schema).coalesce(1)\
+        .write.parquet(src + "/b2")
+
+    def crashing(df, batch_id):
+        raise RuntimeError("sink died after commit")
+
+    with pytest.raises(Exception, match="sink died"):
+        run(crashing)
+    assert cat.list_epochs() == [1, 2]
+    m2 = cat.read_manifest(2)
+    assert m2["metrics"]["fresh"] == 10  # 25..29 deduped vs expired-era state
+    committed_at = m2["committed_at"]
+    # the live batch restored the filter (no full rebuild): delta only
+    assert len(calls) == n_after_two + 1
+
+    # ---- replay after expiry: re-deliver from the snapshot ----
+    run(sink)
+    assert cat.list_epochs() == [1, 2]
+    assert cat.read_manifest(2)["committed_at"] == committed_at
+    replayed = dict(delivered)[2]
+    assert replayed == sorted(f"{i:040x}" for i in range(30, 40))
+    # replay did zero bloom work
+    assert len(calls) == n_after_two + 1
