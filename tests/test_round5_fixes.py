@@ -359,3 +359,64 @@ def test_rfc9309_specificity_counts_octets_not_chars(spark):
     )
     out2 = apply_robots(frontier2, robots2, match_mode="rfc9309").collect()
     assert len(out2) == 1
+
+
+def test_ivf_index_append_query_equality_and_pruning(spark, tmp_path):
+    """Round-5 brief #8: append new vectors to a persisted IVF index
+    without retraining. Queries over the appended index must equal the
+    ground truth computed by assigning the UNION to the ORIGINAL
+    centroids (the no-retrain contract), and the probed scan must
+    still prune partitions."""
+    from warctools_spark.operators.similarity import (
+        _assign_to_centroids,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_topk,
+        _select_probe_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 300)
+    extra = emb.where(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 450)
+    )
+    path = str(tmp_path / "idx")
+    centroids = build_ivf_index(base, path, n_cells=4, iterations=2)
+    rep = ivf_index_append(extra, path)
+    assert rep["n_appended"] == extra.count()
+    assert rep["baseline_mean_dist"] > 0
+    assert rep["drift_ratio"] == pytest.approx(
+        rep["mean_dist"] / rep["baseline_mean_dist"]
+    )
+
+    dims = len(next(iter(centroids.values())))
+    q = [0.05 * ((i % 5) - 2) for i in range(dims)]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_index_topk(spark, path, q, k=8, n_probe=2).collect()
+    ]
+    # ground truth: union assigned to the ORIGINAL centroids, probe
+    # the same cells, exact rerank
+    union = base.unionByName(extra).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    assigned = _assign_to_centroids(union, centroids, "expr")
+    probe = _select_probe_cells(centroids, q, 2)
+    cands = assigned.where(F.col("cluster").isin(probe)).select(
+        "vec_id", F.col("__v").alias("embedding")
+    )
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(cands, q, k=8).collect()
+    ]
+    assert got == want
+
+    # the appended index still partition-prunes the probed cells
+    sel = spark.read.parquet(path + "/vectors").where(
+        F.col("cluster").isin(probe)
+    )
+    plan = _plan(sel)
+    import re as _re
+
+    assert _re.search(r"PartitionFilters: \[cluster#\d+ IN \(", plan), plan

@@ -210,6 +210,59 @@ def kmeans_assign(
     )
 
 
+def _assign_to_centroids(
+    df: DataFrame, centroids: dict, assign_mode: str
+) -> DataFrame:
+    """Assign rows (with a `__v` array<double> column) to the nearest
+    of a literal centroid dict — the single assignment implementation
+    shared by the Lloyd loop, the per-call IVF query path, and
+    ivf_index_append, so their cluster semantics cannot drift apart.
+    Returns df + (cluster, __d2)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if assign_mode == "expr":
+        cells = F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("__v"), c).alias("d2"),
+                    F.lit(cid).alias("cluster"),
+                )
+                for cid, c in sorted(centroids.items())
+            ]
+        )
+        best = F.array_min(cells)
+        return df.withColumn("cluster", best["cluster"]).withColumn(
+            "__d2", best["d2"]
+        )
+    cids = np.array(sorted(centroids))
+    cmat = np.array([centroids[c] for c in sorted(centroids)])
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    @pandas_udf("struct<cluster:int,d2:double>")
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        x = np.array(vs.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.DataFrame({"cluster": [], "d2": []})
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cmat.T)
+            + cnorm[None, :]
+        )
+        best = d2.argmin(axis=1)  # first index wins = lowest cid
+        return pd.DataFrame(
+            {
+                "cluster": cids[best].astype("int32"),
+                # clamp: the expanded form can go slightly negative
+                "d2": np.maximum(d2[np.arange(len(best)), best], 0.0),
+            }
+        )
+
+    a = _assign(F.col("__v"))
+    return df.withColumn("cluster", a["cluster"]).withColumn(
+        "__d2", a["d2"]
+    )
+
+
 def _lloyd(
     emb: DataFrame,
     k: int,
@@ -245,51 +298,8 @@ def _lloyd(
     if assign_mode not in ("expr", "pandas"):
         raise ValueError(f"unknown assign_mode: {assign_mode!r}")
 
-    def assign_expr(df):
-        cells = F.array(
-            *[
-                F.struct(
-                    _sq_dist(F.col("__v"), c).alias("d2"),
-                    F.lit(cid).alias("cluster"),
-                )
-                for cid, c in sorted(centroids.items())
-            ]
-        )
-        best = F.array_min(cells)
-        return df.withColumn("cluster", best["cluster"]).withColumn(
-            "__d2", best["d2"]
-        )
-
-    def assign_pandas(df):
-        cids = np.array(sorted(centroids))
-        cmat = np.array([centroids[c] for c in sorted(centroids)])
-        cnorm = (cmat * cmat).sum(axis=1)
-
-        @pandas_udf("struct<cluster:int,d2:double>")
-        def _assign(vs: pd.Series) -> pd.DataFrame:
-            x = np.array(vs.tolist(), dtype=np.float64)
-            if x.size == 0:
-                return pd.DataFrame({"cluster": [], "d2": []})
-            d2 = (
-                (x * x).sum(axis=1)[:, None]
-                - 2.0 * (x @ cmat.T)
-                + cnorm[None, :]
-            )
-            best = d2.argmin(axis=1)  # first index wins = lowest cid
-            return pd.DataFrame(
-                {
-                    "cluster": cids[best].astype("int32"),
-                    # clamp: the expanded form can go slightly negative
-                    "d2": np.maximum(d2[np.arange(len(best)), best], 0.0),
-                }
-            )
-
-        a = _assign(F.col("__v"))
-        return df.withColumn("cluster", a["cluster"]).withColumn(
-            "__d2", a["d2"]
-        )
-
-    assign = assign_expr if assign_mode == "expr" else assign_pandas
+    def assign(df):
+        return _assign_to_centroids(df, centroids, assign_mode)
 
     assigned = assign(keyed)
     for _ in range(max(iterations - 1, 0)):
@@ -448,15 +458,79 @@ def build_ivf_index(
         .partitionBy("cluster")
         .parquet(path.rstrip("/") + "/vectors")
     )
+    # baseline quantization quality for the append-path drift metric
+    base = assigned.agg(
+        F.avg(F.sqrt(F.col("__d2"))).alias("mean_dist")
+    ).collect()[0]
     sidecar = {
         "n_cells": n_cells,
         "centroids": {str(c): v for c, v in centroids.items()},
+        "mean_dist": float(base["mean_dist"]),
     }
     fs = HadoopFS(emb.sparkSession, path)
     fs.write_text_atomic(
         path.rstrip("/") + "/centroids.json", json.dumps(sidecar)
     )
     return centroids
+
+
+def ivf_index_append(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_mode: str = "auto",
+) -> dict:
+    """Incremental IVF maintenance: assign NEW vectors to the
+    EXISTING centroids (no retrain — one map-side assignment pass,
+    zero shuffles) and append them to their cells' partitions. The
+    crawl keeps producing embeddings; this is the path that absorbs
+    them without re-reading the indexed corpus.
+
+    Returns a drift report: {"n_appended", "mean_dist" (of the
+    appended batch to its assigned centroids), "baseline_mean_dist"
+    (recorded in the sidecar at build time), "drift_ratio"}. A
+    drift_ratio well above 1 means the new data no longer matches the
+    trained quantizer — the retrain trigger: rebuild with
+    build_ivf_index over the union (queries keep working unchanged
+    meanwhile, just with degraded cell balance)."""
+    import json
+
+    from warctools_spark.operators.dedup import _require_dims, _resolve_dims
+    from warctools_spark.plans.fs import HadoopFS
+
+    fs = HadoopFS(emb.sparkSession, path)
+    sidecar = json.loads(fs.read_text(path.rstrip("/") + "/centroids.json"))
+    centroids = {int(c): v for c, v in sidecar["centroids"].items()}
+    dims = len(next(iter(centroids.values())))
+    if assign_mode == "auto":
+        assign_mode = "pandas" if len(centroids) * dims >= 1024 else "expr"
+    keyed = _require_dims(emb, vec_col, dims).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    assigned = _assign_to_centroids(
+        keyed, centroids, assign_mode
+    ).localCheckpoint(eager=True)
+    (
+        assigned.select(id_col, "cluster", F.col("__v").alias("embedding"))
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(path.rstrip("/") + "/vectors")
+    )
+    stats = assigned.agg(
+        F.count("*").alias("n"),
+        F.avg(F.sqrt(F.col("__d2"))).alias("mean_dist"),
+    ).collect()[0]
+    baseline = sidecar.get("mean_dist")
+    mean_dist = float(stats["mean_dist"]) if stats["n"] else 0.0
+    return {
+        "n_appended": int(stats["n"]),
+        "mean_dist": mean_dist,
+        "baseline_mean_dist": baseline,
+        "drift_ratio": (
+            mean_dist / baseline if baseline else None
+        ),
+    }
 
 
 def ivf_index_topk(
