@@ -1423,73 +1423,25 @@ def _q_ivf_kmeans_topk(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the round driver records correctness for
-    # the FIRST 50 entries only. Round-4 window discipline (r03 brief
-    # #5): lead with everything whose semantics or oracle changed this
-    # round plus the new entries, then rotate in the 32 entries whose
-    # only driver certification is CORRECTNESS_r02 — after this round
-    # the r03+r04 union covers all 83 queries with nothing certified
-    # only by r02. The tail is entirely r03-certified, unchanged since,
+    # the FIRST 50 entries only. Round-5 window discipline (r04 brief
+    # #1): lead with everything whose implementation changed this round
+    # (bigram_logprob join-back, ngram_containment guard, and the
+    # kmeans/semdedup/ivf family over the refactored shared assignment
+    # helper), then rotate in the 38 entries whose only driver
+    # certification is CORRECTNESS_r03 — after this round the r04+r05
+    # union covers all 88 queries with nothing certified older than
+    # two rounds. The tail is entirely r04-certified, unchanged since,
     # and re-verified locally each round via tools/check_oracles.py.
     return {
-        # --- changed in round 4: re-certify first ---
-        "events_sessionize": _q_events_sessionize,  # BIGINT cast fix
-        "kmeans_assign": _q_kmeans,  # oracle re-pinned to rank-of-id
-        "semdedup": _q_semdedup,  # shares the kmeans CTE
-        "inverted_index": _q_inverted_index,  # segment_size=None pin
-        # --- new in round 4, never driver-checked ---
-        "split_assign": _q_split_assign,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "ivf_kmeans_topk": _q_ivf_kmeans_topk,
-        "ngram_containment": _q_ngram_containment,
+        # --- changed in round 5: re-certify first ---
         "bigram_logprob": _q_bigram_logprob,
-        "winnow_match_scores": _q_winnow_match_scores,
-        # --- certified only by r02: rotate in so no entry's newest
-        # certification is older than 2 rounds ---
-        "token_frequencies": _q_token_frequencies,
-        "decontaminate": _q_decontaminate,
-        "repetition_features": _q_repetition,
-        "segment_dedup": _q_segment_dedup,
-        "gopher_gate": _q_gopher_gate,
-        "stratified_sample": _q_stratified_sample,
-        "embedding_topk": _q_embedding_topk,
-        "fixed_n_sample": _q_fixed_n_sample,
-        "lang_id": _q_lang_id,
-        "token_counts": _q_token_counts,
-        "quality_score": _q_quality,
-        "scrub_pii": _q_scrub_pii,
-        "main_content": _q_main_content,
-        "skew_report": _q_skew_report,
-        "corpus_mix": _q_corpus_mix,
-        "filter_url_invert": _q_filter_url_invert,
-        "link_rank": _q_link_rank,
-        "politeness_topk_salted": _q_politeness_topk_salted,
-        "dedup_exact_keep_first": _q_dedup_exact_keep_first,
-        "doc_fingerprint": _q_fingerprint,
-        "host_graph": _q_host_graph,
-        "robots_sitemaps": _q_robots_sitemaps,
-        "cdx_index": _q_cdx_index,
-        "host_rank": _q_host_rank,
-        "recrawl_priority": _q_recrawl_priority,
-        "revisit_records": _q_revisit_records,
-        "corpus_summary": _q_corpus_summary,
-        "url_traps": _q_url_traps,
-        "mime_sniff": _q_mime_sniff,
-        "bigram_frequencies": _q_bigram_frequencies,
-        "sitemap_seeds": _q_sitemap_seeds,
-        "wet_records": _q_wet_records,
-        # --- r03-certified refreshers filling the window to 50 (the
-        # flagship + heaviest plans, so regressions surface earliest)
-        "frontier_epoch": _q_frontier_epoch,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "tpch_q1": _q_tpch_q1,
-        "http_decode": _q_http_decode,
-        "harvest_links": _q_harvest_links,
-        "extract_text": _q_extract_text,
-        "rag_corpus": _q_rag_corpus,
-        # --- past the driver's 50-entry window: every entry below is
-        # driver-green in CORRECTNESS_r03.json, unchanged since, and
-        # re-verified locally each round via tools/check_oracles.py ---
+        "ngram_containment": _q_ngram_containment,
+        "kmeans_assign": _q_kmeans,
+        "semdedup": _q_semdedup,
+        "ivf_kmeans_topk": _q_ivf_kmeans_topk,
+        # --- certified only by r03: rotate into the 50-entry
+        # driver window so the r04+r05 union covers all 88
+        # with nothing older than two rounds ---
         "events_hourly": _q_events_hourly,
         "tpch_q3ish": _q_tpch_q3ish,
         "tpch_q5ish": _q_tpch_q5ish,
@@ -1528,6 +1480,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "training_corpus": _q_training_corpus,
         "dedup_clusters": _q_dedup_clusters,
+        # --- r04-certified entries sharing round-5-touched
+        # modules (text_analysis/similarity), re-certified as
+        # defense in depth ---
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "token_frequencies": _q_token_frequencies,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_match_scores": _q_winnow_match_scores,
+        "inverted_index": _q_inverted_index,
+        "embedding_topk": _q_embedding_topk,
+        "events_sessionize": _q_events_sessionize,
+        # --- past the driver's 50-entry window: every entry
+        # below is driver-green in CORRECTNESS_r04.json,
+        # unchanged since, and re-verified locally each round
+        # via tools/check_oracles.py ---
+        "split_assign": _q_split_assign,
+        "decontaminate": _q_decontaminate,
+        "repetition_features": _q_repetition,
+        "segment_dedup": _q_segment_dedup,
+        "gopher_gate": _q_gopher_gate,
+        "stratified_sample": _q_stratified_sample,
+        "fixed_n_sample": _q_fixed_n_sample,
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
+        "quality_score": _q_quality,
+        "scrub_pii": _q_scrub_pii,
+        "main_content": _q_main_content,
+        "skew_report": _q_skew_report,
+        "corpus_mix": _q_corpus_mix,
+        "filter_url_invert": _q_filter_url_invert,
+        "link_rank": _q_link_rank,
+        "politeness_topk_salted": _q_politeness_topk_salted,
+        "dedup_exact_keep_first": _q_dedup_exact_keep_first,
+        "doc_fingerprint": _q_fingerprint,
+        "host_graph": _q_host_graph,
+        "robots_sitemaps": _q_robots_sitemaps,
+        "cdx_index": _q_cdx_index,
+        "host_rank": _q_host_rank,
+        "recrawl_priority": _q_recrawl_priority,
+        "revisit_records": _q_revisit_records,
+        "corpus_summary": _q_corpus_summary,
+        "url_traps": _q_url_traps,
+        "mime_sniff": _q_mime_sniff,
+        "bigram_frequencies": _q_bigram_frequencies,
+        "sitemap_seeds": _q_sitemap_seeds,
+        "wet_records": _q_wet_records,
+        "frontier_epoch": _q_frontier_epoch,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "tpch_q1": _q_tpch_q1,
+        "http_decode": _q_http_decode,
+        "harvest_links": _q_harvest_links,
+        "extract_text": _q_extract_text,
+        "rag_corpus": _q_rag_corpus,
     }
 
 
