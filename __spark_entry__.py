@@ -1830,6 +1830,11 @@ def _lang_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    """ANSI-SQL DuckDB twins of every queries() entry. BEFORE adding
+    or editing an oracle, walk the ORACLES.md checklist (HUGEINT
+    widening, bucket-column drop, array-lambda inlining, name-sorted
+    hash compare, fold-order rounding, regex dialects, ...) — each
+    entry there cost a round of debugging once already."""
     sh = _shingles_sql("text")
     html_doc = _html_doc_sql()
     p = 2147483647

@@ -280,18 +280,21 @@ def main():
     # the total stays comparable across rounds/BASELINE.md
     extra = {}
     extra_cold = {}
-    for name, fn in (
-        ("bloom_bucketed", q_bloom_bucketed),
-        ("segment_dedup", q_segment_dedup),
-        ("duplicate_spans", q_duplicate_spans),
-        ("inverted_index_segmented", q_inverted_index_segmented),
-        ("remove_duplicate_spans", q_remove_duplicate_spans),
-        ("kmeans_assign", q_kmeans),
-        ("winnow_fingerprints", q_winnow),
-        ("ivf_kmeans_topk", q_ivf_kmeans),
+    for name, fn, runs in (
+        ("bloom_bucketed", q_bloom_bucketed, 3),
+        ("segment_dedup", q_segment_dedup, 3),
+        ("duplicate_spans", q_duplicate_spans, 3),
+        ("inverted_index_segmented", q_inverted_index_segmented, 3),
+        ("remove_duplicate_spans", q_remove_duplicate_spans, 3),
+        ("kmeans_assign", q_kmeans, 3),
+        # r04 brief #7: the winnow warm spread was too wide (0.93-4.99s)
+        # to regress against — 7 runs / 6 warm samples tightens the
+        # recorded interval through shared-VM noise phases
+        ("winnow_fingerprints", q_winnow, 7),
+        ("ivf_kmeans_topk", q_ivf_kmeans, 3),
     ):
         results[name], extra_cold[name], extra[name], spreads[name] = timed(
-            fn, pages_path
+            fn, pages_path, runs=runs
         )
 
     from warctools_spark.sources.pages import N_LINKS
