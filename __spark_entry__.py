@@ -240,26 +240,18 @@ def _q_minhash(spark, sf_dir):
 
 def _q_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard for consecutive-id pairs (the LSH verify
-    stage arithmetic)."""
-    from warctools_spark.operators.dedup import shingles
+    stage), through the ngram_jaccard operator itself — certifying the
+    shipped code path, including its guarded denominator (short docs
+    score 0.0, not null)."""
+    from warctools_spark.operators.dedup import ngram_jaccard
 
     docs = _docs(spark, sf_dir)
-    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
-    a = sh.alias("a")
-    b = sh.select(
-        (F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")
-    ).alias("b")
-    return (
-        a.join(b, "doc_id")
-        .select(
-            F.col("doc_id").alias("id_a"),
-            (F.col("doc_id") + 1).alias("id_b"),
-            F.round(
-                F.size(F.array_intersect("sh", "sh_b"))
-                / F.size(F.array_union("sh", "sh_b")),
-                6,
-            ).alias("jaccard"),
-        )
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+    )
+    return ngram_jaccard(docs, pairs).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -1999,7 +1991,8 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (SELECT doc_id, {sh} AS sh FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.sh, b.sh))
-                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+                         / greatest(len(list_distinct(a.sh || b.sh)), 1),
+                         6) AS jaccard
             FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
         """,
         "ngram_containment": f"""

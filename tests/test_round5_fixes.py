@@ -273,9 +273,11 @@ def test_catalog_expire_refuses_when_references_resolve_nowhere(
     spark, tmp_path
 ):
     """Belt-and-braces guard: if surviving manifests reference zero
-    existing paths (legacy absolute spellings under a root that no
-    longer matches), the sweep must refuse rather than delete live
-    crawl state."""
+    existing paths (legacy absolute spellings whose table/epoch tails
+    do not exist under the current root either), the sweep must refuse
+    rather than delete live crawl state. (A legacy absolute ref whose
+    TAIL does exist locally is instead protected in place —
+    test_round5_review.py::test_expire_protects_legacy_absolute_refs.)"""
     import json
 
     from warctools_spark.plans.catalog import Catalog
@@ -286,12 +288,13 @@ def test_catalog_expire_refuses_when_references_resolve_nowhere(
         F.md5(F.col("id").cast("string")).alias("url_sha1")
     )
     cat.write_table(df, "queue", 0, bucket_col=None)
-    # legacy-style manifest: absolute paths under a DIFFERENT root
+    # legacy-style manifest: absolute paths under a DIFFERENT root,
+    # with an epoch dir that has no local counterpart
     (root / "_manifests").mkdir(parents=True, exist_ok=True)
     manifest = {
         "epoch": 0, "n_buckets": 4,
         "tables": [{"table": "queue",
-                    "path": "/nonexistent/oldroot/queue/epoch=00000"}],
+                    "path": "/nonexistent/oldroot/queue/epoch=00099"}],
         "metrics": {},
     }
     (root / "_manifests" / "epoch_00000.json").write_text(

@@ -224,15 +224,31 @@ def bpe_train(
     vocab = token_frequencies(docs, text_col).where(
         F.col("n") >= min_word_freq
     )
+    vocab_ckpt = False
     if mode == "auto":
+        # the count() probe would otherwise run the full corpus
+        # aggregate once, and the collect()/segs-checkpoint below a
+        # SECOND time — checkpoint the (vocab-sized) result first so
+        # the corpus is touched exactly once on the default path
+        vocab = vocab.localCheckpoint(eager=True)
+        vocab_ckpt = True
         mode = (
             "driver"
             if vocab.count() <= driver_vocab_limit
             else "distributed"
         )
+
+    def _drop_ckpt(df):
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     if mode == "driver":
         spark = docs.sparkSession
         rows = vocab.collect()
+        if vocab_ckpt:
+            _drop_ckpt(vocab)
         merges, segs = _train_driver(
             [(r["token"], r["n"]) for r in rows], n_merges
         )
@@ -247,6 +263,8 @@ def bpe_train(
         chars(F.col("token")).alias("symbols"),
         "n",
     ).localCheckpoint(eager=True)
+    if vocab_ckpt:
+        _drop_ckpt(vocab)
     merges = []
     for _ in range(n_merges):
         top = (
@@ -269,10 +287,7 @@ def bpe_train(
         # Dataset.rdd() would be a FRESH derived RDD, not the one
         # localCheckpoint persisted; the persisted one is the
         # LogicalRDD's own rdd, reached via the analyzed plan.
-        try:
-            prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+        _drop_ckpt(prev)
     return merges, segs
 
 

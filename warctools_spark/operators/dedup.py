@@ -256,7 +256,10 @@ def ngram_jaccard(
     n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (the LSH
-    verify stage): pairs(id_a, id_b) -> + jaccard double."""
+    verify stage): pairs(id_a, id_b) -> + jaccard double. Pairs where
+    BOTH docs are shorter than n tokens (empty shingle sets) score
+    0.0, not null — the same guarded-denominator contract as
+    ngram_containment."""
     sh = docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -268,7 +271,9 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
-            (F.col("inter") / F.col("uni")).alias("jaccard"),
+            (F.col("inter") / F.greatest(F.col("uni"), F.lit(1))).alias(
+                "jaccard"
+            ),
         )
     )
     return out

@@ -220,6 +220,8 @@ def _assign_to_centroids(
     Returns df + (cluster, __d2)."""
     from pyspark.sql.functions import pandas_udf
 
+    if assign_mode not in ("expr", "pandas"):
+        raise ValueError(f"unknown assign_mode: {assign_mode!r}")
     if assign_mode == "expr":
         cells = F.array(
             *[
@@ -274,8 +276,6 @@ def _lloyd(
 ) -> tuple[DataFrame, dict]:
     """Shared Lloyd loop behind kmeans_assign and ivf_kmeans_topk:
     returns (assigned(id, __v, cluster, __d2), final centroids)."""
-    from pyspark.sql.functions import pandas_udf
-
     from warctools_spark.operators.dedup import _require_dims, _resolve_dims
 
     dims = _resolve_dims(emb, vec_col, None)
@@ -452,6 +452,11 @@ def build_ivf_index(
     assigned, centroids = _lloyd(
         emb, n_cells, iterations, id_col, vec_col, 6, "expr"
     )
+    # checkpoint before the two consumers below: otherwise the parquet
+    # write materializes the full Lloyd lineage once and the baseline
+    # aggregate re-runs it from scratch (ivf_index_append already does
+    # this for the same reason)
+    assigned = assigned.localCheckpoint(eager=True)
     (
         assigned.select(id_col, "cluster", F.col("__v").alias("embedding"))
         .write.mode("overwrite")
@@ -496,7 +501,7 @@ def ivf_index_append(
     meanwhile, just with degraded cell balance)."""
     import json
 
-    from warctools_spark.operators.dedup import _require_dims, _resolve_dims
+    from warctools_spark.operators.dedup import _require_dims
     from warctools_spark.plans.fs import HadoopFS
 
     fs = HadoopFS(emb.sparkSession, path)
@@ -523,13 +528,19 @@ def ivf_index_append(
     ).collect()[0]
     baseline = sidecar.get("mean_dist")
     mean_dist = float(stats["mean_dist"]) if stats["n"] else 0.0
+    if baseline is None:
+        drift = None  # pre-baseline sidecar: no data, not "no drift"
+    elif baseline == 0.0:
+        # every base vector coincided with its centroid; ANY appended
+        # distance is infinite relative drift, not a missing metric
+        drift = 0.0 if mean_dist == 0.0 else float("inf")
+    else:
+        drift = mean_dist / baseline
     return {
         "n_appended": int(stats["n"]),
         "mean_dist": mean_dist,
         "baseline_mean_dist": baseline,
-        "drift_ratio": (
-            mean_dist / baseline if baseline else None
-        ),
+        "drift_ratio": drift,
     }
 
 

@@ -200,6 +200,20 @@ class Catalog:
                 refs.add(self._rel(t["path"]))
             for p in m["metrics"].get("seen_parts", []):
                 refs.add(self._rel(p))
+        # Legacy manifests (or a respelled root) can leave ABSOLUTE
+        # refs that _rel could not strip. The sweep only ever deletes
+        # dirs under the CURRENT root, so an absolute ref can only be
+        # endangered if it denotes a root dir via another spelling
+        # (symlink, re-mount). Catalog layout is always
+        # <root>/<table>/epoch=NNNNN, so protecting the ref's
+        # two-component tail under the current root covers that case;
+        # if the ref is genuinely external, keeping the same-named
+        # local dir too is merely conservative — never a deletion.
+        for r in list(refs):
+            if "://" in r or r.startswith("/"):
+                parts = r.rstrip("/").split("/")
+                if len(parts) >= 2:
+                    refs.add("/".join(parts[-2:]))
         return refs
 
     def expire_snapshots(self, keep_last: int = 8) -> dict:

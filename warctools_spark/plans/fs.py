@@ -8,12 +8,15 @@ and `build_ivf_index(path="s3a://...")` the SAME code path as the local
 stand-in (verified in tests with a `file://` root): a real 100 TB crawl
 catalog lives on an object store, not the driver's local disk.
 
-Atomicity note: `write_text_atomic` is write-temp + rename. On HDFS and
-local file:// that rename is atomic; on S3-class stores it is
-copy+delete — the same caveat Iceberg's file-IO documents, acceptable
-here because the manifest protocol tolerates a torn *temp* file (the
-previous manifest stays the latest consistent snapshot) and never a
-torn final one.
+Atomicity note: `write_text_atomic` is write-temp + rename. On local
+file:// the rename is os.replace — atomic even when overwriting. On
+remote stores Hadoop's rename cannot overwrite, so an OVERWRITING
+rewrite is delete-then-rename with a crash window in between (readers
+then see a missing final file until the writer retries); first-time
+writes are still never torn. S3-class stores add the copy+delete
+caveat Iceberg's file-IO documents. The manifest protocol tolerates a
+torn *temp* file (the previous manifest stays the latest consistent
+snapshot).
 """
 
 from __future__ import annotations
@@ -77,13 +80,30 @@ class HadoopFS:
         return self._fs.delete(self._path(p), recursive)
 
     def rename_over(self, src: str, dst: str) -> None:
-        """Rename src -> dst, replacing dst if present (HDFS rename
-        does not overwrite, unlike os.replace)."""
+        """Rename src -> dst, replacing dst if present.
+
+        On the local filesystem this is os.replace — genuinely atomic,
+        so an overwriting manifest/sidecar rewrite can never leave the
+        destination missing. Remote stores fall back to
+        delete-then-rename, because Hadoop's FileSystem.rename refuses
+        to overwrite: there a crash between the two calls can leave
+        only the .tmp file (readers fail loudly until the writer
+        retries) — the same non-atomic-overwrite caveat object-store
+        rename has anyway."""
+        if self._fs.getScheme() == "file":
+            import os
+
+            os.replace(self._local(src), self._local(dst))
+            return
         hdst = self._path(dst)
         if self._fs.exists(hdst):
             self._fs.delete(hdst, False)
         if not self._fs.rename(self._path(src), hdst):
             raise IOError(f"rename failed: {src} -> {dst}")
+
+    def _local(self, p: str) -> str:
+        """Raw OS path for a file:// (or scheme-less) path."""
+        return self._path(p).toUri().getPath()
 
     # ---- whole-file text ----
     def read_text(self, p: str) -> str:

@@ -231,7 +231,15 @@ def stream_frontier_durable(
                     "needs a dedicated catalog"
                 )
             committed_sid = m["metrics"].get("stream_id")
-            if committed_sid != _stream_id(spark):
+            # A manifest with batch_id but NO stream_id was committed
+            # by a pre-stream_id version of this code; the only way to
+            # arrive here with it is a genuine replay from the original
+            # checkpoint (anything else already failed the batch_id
+            # guard above), so tolerate it rather than dead-ending the
+            # upgrade's first recovery.
+            if committed_sid is not None and committed_sid != _stream_id(
+                spark
+            ):
                 raise ValueError(
                     f"catalog at {catalog.root!r} snapshot {batch_id} "
                     f"was committed by stream {committed_sid!r}, but "
