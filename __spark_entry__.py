@@ -1413,6 +1413,63 @@ def _q_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR data-selection scoring (Xie et al. 2023): hashed
+    unigram+bigram importance log-weights of every doc against the
+    lang='en' subset as the target distribution."""
+    from warctools_spark.operators.sampling import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(docs, docs.where("lang = 'en'"))
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR selection stage: deterministic Gumbel-top-k importance
+    resampling — the 100 docs a DSIR pass would keep."""
+    from warctools_spark.operators.sampling import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(docs, docs.where("lang = 'en'"), k=100)
+
+
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): corpus
+    split into exact head/middle/tail thirds by unigram fluency."""
+    from warctools_spark.operators.text_analysis import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
+def _q_cms_top_tokens(spark, sf_dir):
+    """Count-min-sketch heavy hitters: top-20 tokens by sketch
+    estimate with the exact count alongside as the overestimate
+    audit (constant-memory mergeable corpus statistics)."""
+    from warctools_spark.operators.sketches import cms_top_tokens
+
+    return cms_top_tokens(_docs(spark, sf_dir))
+
+
+def _q_hll_vocab(spark, sf_dir):
+    """Deterministic HyperLogLog estimate of the corpus vocabulary
+    size (256 registers, md5-parity hash), with exact distinct count
+    and relative error alongside."""
+    from warctools_spark.operators.sketches import hll_distinct
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return hll_distinct(toks, "token")
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """Per-doc 5-gram novelty: fraction of a doc's shingles first
+    seen in this doc (boilerplate/mirror detection signal)."""
+    from warctools_spark.operators.text_analysis import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the round driver records correctness for
     # the FIRST 50 entries only. Round-5 window discipline (r04 brief
@@ -1425,6 +1482,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # two rounds. The tail is entirely r04-certified, unchanged since,
     # and re-verified locally each round via tools/check_oracles.py.
     return {
+        # --- NEW in round 5 (widening): must be in-window ---
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "cms_top_tokens": _q_cms_top_tokens,
+        "hll_vocab": _q_hll_vocab,
+        "ngram_novelty": _q_ngram_novelty,
         # --- changed in round 5: re-certify first ---
         "bigram_logprob": _q_bigram_logprob,
         "ngram_containment": _q_ngram_containment,
@@ -1821,6 +1885,61 @@ def _lang_sql() -> str:
     return best
 
 
+
+_DSIR_WTS_CTE = """
+WITH w0 AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang, unnest(w) AS gram FROM w0
+  UNION ALL
+  SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS gram
+  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+        FROM w0 WHERE len(w) >= 2)
+),
+db AS (
+  SELECT doc_id, lang,
+         (CAST(('0x' || substr(md5('dsir-v1:' || gram), 1, 15)) AS BIGINT)
+          % 4096) AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM g GROUP BY 1, 2, 3
+),
+q AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS qn FROM db GROUP BY bucket),
+p AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS pn FROM db
+      WHERE lang = 'en' GROUP BY bucket),
+tot AS (SELECT (SELECT CAST(sum(pn) AS DOUBLE) FROM p) AS pp,
+               (SELECT CAST(sum(qn) AS DOUBLE) FROM q) AS qq),
+lam AS (
+  SELECT d.bucket,
+         ln((coalesce(pn, 0) + 1.0) / (pp + 4096.0))
+         - ln((coalesce(qn, 0) + 1.0) / (qq + 4096.0)) AS lam
+  FROM (SELECT unnest(range(0, 4096)) AS bucket) d
+  LEFT JOIN p ON d.bucket = p.bucket
+  LEFT JOIN q ON d.bucket = q.bucket
+  CROSS JOIN tot
+),
+wts AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         round(sum(c * lam), 4) AS log_weight
+  FROM db JOIN lam USING (bucket) GROUP BY doc_id
+),
+allw AS (
+  SELECT d.doc_id,
+         coalesce(n_grams, 0) AS n_grams,
+         coalesce(log_weight, 0.0) AS log_weight
+  FROM documents d LEFT JOIN wts ON d.doc_id = wts.doc_id
+)
+"""
+
+_HLL_EST = """(CASE WHEN (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / Z
+                         <= 2.5 * 256 AND V > 0
+              THEN 256.0 * ln(256.0 / V)
+              ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / Z END)"""
+
+
 def oracle_sql() -> dict[str, str]:
     """ANSI-SQL DuckDB twins of every queries() entry. BEFORE adding
     or editing an oracle, walk the ORACLES.md checklist (HUGEINT
@@ -1838,6 +1957,138 @@ def oracle_sql() -> dict[str, str]:
     lang_expr = _lang_sql()
 
     return {
+        "dsir_weights": _DSIR_WTS_CTE + """
+            SELECT doc_id, n_grams, log_weight FROM allw
+        """,
+        "dsir_select": _DSIR_WTS_CTE + """
+            SELECT doc_id, n_grams, log_weight,
+                   round(log_weight
+                         - ln(-ln(((CAST(('0x' || substr(md5('dsir-v1-gumbel:'
+                                   || CAST(doc_id AS VARCHAR)), 1, 15))
+                                   AS BIGINT) % 1000000) + 0.5)
+                                  / 1000000.0)), 4) AS dsir_score
+            FROM allw
+            ORDER BY dsir_score DESC, doc_id ASC LIMIT 100
+        """,
+        "ccnet_buckets": """
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                         AS token
+              FROM documents
+            ),
+            tk2 AS (SELECT * FROM tk WHERE token <> ''),
+            freq AS (SELECT token, count(*) AS n FROM tk2 GROUP BY token),
+            tt AS (SELECT count(*) AS t FROM tk2),
+            s AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(avg(-ln(n / CAST(t AS DOUBLE))), 4)
+                         AS mean_neg_logprob
+              FROM tk2 JOIN freq USING (token) CROSS JOIN tt
+              GROUP BY doc_id
+            ),
+            sc AS (SELECT mean_neg_logprob, CAST(count(*) AS BIGINT) AS cnt
+                   FROM s GROUP BY mean_neg_logprob),
+            cum AS (
+              SELECT mean_neg_logprob,
+                     CAST(sum(cnt) OVER (ORDER BY mean_neg_logprob
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS cum,
+                     (SELECT CAST(sum(cnt) AS BIGINT) FROM sc) AS n
+              FROM sc
+            ),
+            b AS (
+              SELECT mean_neg_logprob,
+                     CASE WHEN cum * 3 <= n THEN 'head'
+                          WHEN cum * 3 <= n * 2 THEN 'middle'
+                          ELSE 'tail' END AS ppl_bucket
+              FROM cum
+            )
+            SELECT doc_id, n_tokens, mean_neg_logprob, ppl_bucket
+            FROM s JOIN b USING (mean_neg_logprob)
+        """,
+        "cms_top_tokens": """
+            WITH tk AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                  AS token
+              FROM documents
+            ),
+            freq AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+                     FROM tk WHERE token <> '' GROUP BY token),
+            hashed AS (
+              SELECT token, n_exact, j,
+                     (CAST(('0x' || substr(md5('cms-v1:'
+                           || CAST(j AS VARCHAR) || ':' || token), 1, 15))
+                           AS BIGINT) % 1024) AS bucket
+              FROM freq CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+            ),
+            counters AS (SELECT j, bucket, CAST(sum(n_exact) AS BIGINT) AS cnt
+                         FROM hashed GROUP BY j, bucket)
+            SELECT token, n_exact, n_cms FROM (
+              SELECT token, min(n_exact) AS n_exact,
+                     CAST(min(cnt) AS BIGINT) AS n_cms
+              FROM hashed JOIN counters USING (j, bucket)
+              GROUP BY token
+            ) ORDER BY n_cms DESC, token ASC LIMIT 20
+        """,
+        "hll_vocab": f"""
+            WITH tk AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                  AS token
+              FROM documents
+            ),
+            tk2 AS (SELECT token FROM tk WHERE token <> ''),
+            h AS (
+              SELECT CAST(('0x' || substr(md5('hll-v1:' || token), 1, 15))
+                          AS BIGINT) AS h
+              FROM tk2
+            ),
+            reg AS (SELECT h % 256 AS idx, min(h // 256) AS minv
+                    FROM h GROUP BY idx),
+            bl AS (
+              SELECT idx, minv,
+                     CASE WHEN minv = 0 THEN 53
+                          ELSE 53 - (max(k) + 1) END AS M
+              FROM reg LEFT JOIN (
+                     SELECT unnest(range(0, 52)) AS k,
+                            unnest(list_transform(range(0, 52),
+                                   x -> CAST(pow(2.0, x) AS BIGINT))) AS p2)
+                   ON p2 <= minv
+              GROUP BY idx, minv
+            ),
+            regs AS (
+              SELECT d.idx, CAST(coalesce(M, 0) AS BIGINT) AS M
+              FROM (SELECT unnest(range(0, 256)) AS idx) d
+              LEFT JOIN bl ON d.idx = bl.idx
+            ),
+            stats AS (
+              SELECT sum(pow(2.0, -M)) AS Z,
+                     CAST(sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS V
+              FROM regs
+            ),
+            exact AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+                      FROM tk2)
+            SELECT n_exact,
+                   round({_HLL_EST}, 4) AS n_hll,
+                   round(abs({_HLL_EST} - n_exact) / n_exact, 4) AS rel_err
+            FROM stats CROSS JOIN exact
+        """,
+        "ngram_novelty": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({_shingles_sql("text", 5)}) AS gram
+              FROM documents
+            ),
+            first AS (SELECT gram, min(doc_id) AS f FROM sh GROUP BY gram)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN f = doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   round(sum(CASE WHEN f = doc_id THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 4) AS novelty
+            FROM sh JOIN first USING (gram)
+            GROUP BY doc_id
+        """,
         "page_index": f"""
             SELECT {_URL.format(id="d.doc_id")} AS url,
                    {_HOST.format(id="d.doc_id")} AS host,

@@ -157,3 +157,192 @@ def split_assign(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return docs.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Public method, no reference counterpart
+# (warctools has no data-selection stage); cited for parity with the
+# paper's hashed-n-gram formulation only.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+
+
+def _hash_mod(col: Column, seed: str, mod: int) -> Column:
+    """Engine-portable non-negative hash: first 60 bits of
+    md5(seed:value) mod `mod` (same md5->int trick as hash_unit /
+    the MinHash family; DuckDB replica is
+    CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT) % mod)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(mod)
+
+
+def _hashed_gram_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    seed: str,
+) -> DataFrame:
+    """Per-doc hashed-n-gram feature counts: whitespace unigrams +
+    space-joined bigrams, each hashed into `n_buckets` buckets ->
+    (id, bucket, c). The per-doc pre-aggregation is deliberate: every
+    downstream join touches this (sub-vocabulary-sized per doc) table,
+    never the exploded occurrence stream — the same join-input-
+    reduction that fixed bigram_logprob's skew."""
+    w = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    empty = F.array().cast("array<string>")
+    bi = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(empty)
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.concat(w, bi)).alias("gram"),
+    )
+    return (
+        grams.select(
+            "__id", _hash_mod(F.col("gram"), seed, n_buckets).alias("bucket")
+        )
+        .groupBy("__id", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def _bucket_log_ratio(
+    docs_b: DataFrame,
+    target_b: DataFrame,
+    n_buckets: int,
+    alpha: float,
+) -> DataFrame:
+    """The DSIR importance log-ratio per bucket over the FULL bucket
+    domain: lam_b = ln p_hat(b) - ln q_hat(b), with add-alpha
+    smoothing p_hat(b) = (p_b + a) / (P + a*B). Returns exactly
+    `n_buckets` rows — a constant-size (feature-dim) table that
+    broadcasts no matter the corpus size."""
+    spark = docs_b.sparkSession
+    q = docs_b.groupBy("bucket").agg(F.sum("c").cast("long").alias("qn"))
+    p = target_b.groupBy("bucket").agg(F.sum("c").cast("long").alias("pn"))
+    dom = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    lam = (
+        dom.join(p, "bucket", "left")
+        .join(q, "bucket", "left")
+        .crossJoin(
+            F.broadcast(
+                p.agg(F.sum("pn").cast("double").alias("__P")).crossJoin(
+                    q.agg(F.sum("qn").cast("double").alias("__Q"))
+                )
+            )
+        )
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("pn"), F.lit(0)).cast("double") + alpha)
+                    / (F.col("__P") + alpha * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("qn"), F.lit(0)).cast("double") + alpha)
+                    / (F.col("__Q") + alpha * n_buckets)
+                )
+            ).alias("lam"),
+        )
+    )
+    return lam
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = 1.0,
+    seed: str = "dsir-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance log-weights: score every raw document by how
+    much more likely its hashed-n-gram bag is under the TARGET
+    distribution (e.g. a trusted high-quality subset) than under the
+    raw corpus itself — log w(x) = sum over grams of
+    [ln p_target(bucket) - ln q_raw(bucket)], add-alpha smoothed.
+    This is the data-selection scoring stage of Xie et al. 2023.
+
+    Output: (id, n_grams, log_weight), one row per input doc; docs
+    with no grams (empty/whitespace text) keep a row with n_grams=0
+    and log_weight=0.0 — a selection pass must never change corpus
+    row count.
+
+    Scale: two hash aggs over the gram stream (map-side combined),
+    then every join is per-doc-pre-aggregated counts against a
+    constant `n_buckets`-row broadcast table — no corpus-sized
+    shuffle keyed on skewed grams ("the the" never becomes a hot
+    join key because only its bucket's COUNT travels)."""
+    docs_b = _hashed_gram_counts(docs, text_col, id_col, n_buckets, seed)
+    target_b = _hashed_gram_counts(target, text_col, id_col, n_buckets, seed)
+    lam = _bucket_log_ratio(docs_b, target_b, n_buckets, alpha)
+    wts = (
+        docs_b.join(F.broadcast(lam), "bucket")
+        .groupBy("__id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lam")), 4).alias("log_weight"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(wts, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = 1.0,
+    seed: str = "dsir-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR selection stage: Gumbel-top-k resampling over the
+    importance weights — equivalent to sampling k docs without
+    replacement with probability proportional to w(x) (Xie et al.
+    2023 §2.2; Gumbel trick: argtop-k of log w + Gumbel noise). The
+    noise is DERIVED from md5(id), not drawn, so the selected set is
+    a pure function of (seed, corpus) — reproducible across reruns,
+    partitionings and engines, like every sampler in this module.
+
+    Scores are rounded to 4 decimals BEFORE the top-k ordering with
+    doc id as the total tie-break, so the selection is stable under
+    last-ulp accumulation differences (ORACLES.md #5/#9).
+
+    Scale: top-k by ORDER BY+LIMIT compiles to TakeOrderedAndProject
+    — per-partition heaps then a driver merge of k rows, never a
+    global sort."""
+    wts = dsir_weights(docs, target, n_buckets, alpha, seed, text_col, id_col)
+    # u in (0,1): (h + 0.5) / MOD can't hit the ln(0) endpoints
+    h = _hash_mod(F.col(id_col), seed + "-gumbel", _MOD)
+    u = (h.cast("double") + 0.5) / F.lit(float(_MOD))
+    g = -F.log(-F.log(u))
+    return (
+        wts.withColumn("dsir_score", F.round(F.col("log_weight") + g, 4))
+        .orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "n_grams", "log_weight", "dsir_score")
+    )

@@ -925,3 +925,96 @@ def winnow_match_scores(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): rank documents by language-model score —
+    here the corpus-unigram mean_neg_logprob from unigram_logprob()
+    — and split the corpus into equal thirds: 'head' (most fluent),
+    'middle', 'tail'. CCNet keeps head+middle for LM training and
+    drops or down-weights tail.
+
+    The tertile boundary is computed EXACTLY, not with ntile() over a
+    global sort: scores are aggregated to a distinct-score table
+    (bounded by the 4-decimal rounding, thousands of rows regardless
+    of corpus size), cumulated with one tiny window, and the bucket
+    is decided by integer arithmetic (cum*3 <= N) so ties at a
+    boundary land identically in any engine. Docs sharing a score
+    share a bucket by construction.
+
+    Scale: the corpus-sized side sees one hash agg (unigram_logprob)
+    plus one broadcast join against the distinct-score table; the
+    only ORDER BY is over that constant-bounded table."""
+    from pyspark.sql import Window
+
+    s = unigram_logprob(docs, text_col=text_col, id_col=id_col)
+    sc = s.groupBy("mean_neg_logprob").agg(F.count("*").cast("long").alias("__cnt"))
+    w = Window.orderBy("mean_neg_logprob").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sc.select(
+        "mean_neg_logprob",
+        F.sum("__cnt").over(w).cast("long").alias("__cum"),
+    ).crossJoin(F.broadcast(sc.agg(F.sum("__cnt").cast("long").alias("__N"))))
+    buckets = cum.select(
+        "mean_neg_logprob",
+        F.when(F.col("__cum") * 3 <= F.col("__N"), F.lit("head"))
+        .when(F.col("__cum") * 3 <= F.col("__N") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+    return s.join(F.broadcast(buckets), "mean_neg_logprob").select(
+        id_col, "n_tokens", "mean_neg_logprob", "ppl_bucket"
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word n-gram shingles whose globally-FIRST occurrence (by doc id
+    order) is this doc — the RefinedWeb/FineWeb-style "how much of
+    this page is new text vs boilerplate already seen earlier in the
+    corpus" signal. A mirror/template page scores ~0, fresh prose ~1.
+
+    Output: (id, n_shingles, n_novel, novelty), one row per doc
+    (every doc has >= 1 shingle via the short-doc whole-text
+    fallback shared with the dedup family).
+
+    Scale: one min() hash agg over the shingle stream (map-side
+    combined — first-occurrence via MIN is order-free, no global
+    sort), then a join of per-doc DISTINCT shingles against the
+    aggregated first-occurrence table — the distinct-per-doc input
+    caps any one doc's contribution to a hot boilerplate key at 1."""
+    from warctools_spark.operators.dedup import shingles
+
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    first = sh.groupBy("gram").agg(F.min(id_col).alias("__first"))
+    return (
+        sh.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
+        )
+    )
