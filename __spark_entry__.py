@@ -1470,6 +1470,24 @@ def _q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_docs(spark, sf_dir))
 
 
+
+def _q_host_quality_rollup(spark, sf_dir):
+    """Per-host reputation rollup: doc count, mean quality score,
+    language entropy — the host-level frontier prioritization
+    signal (kill a spam farm at the host, not per URL)."""
+    from warctools_spark.operators.text_analysis import host_quality_rollup
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "host",
+        F.expr(
+            "CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com' "
+            "ELSE concat('src', CAST(doc_id % 20 AS STRING), "
+            "'.example.com') END"
+        ),
+    )
+    return host_quality_rollup(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the round driver records correctness for
     # the FIRST 50 entries only. Round-5 window discipline (r04 brief
@@ -1489,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_top_tokens": _q_cms_top_tokens,
         "hll_vocab": _q_hll_vocab,
         "ngram_novelty": _q_ngram_novelty,
+        "host_quality_rollup": _q_host_quality_rollup,
         # --- changed in round 5: re-certify first ---
         "bigram_logprob": _q_bigram_logprob,
         "ngram_containment": _q_ngram_containment,
@@ -1957,6 +1976,50 @@ def oracle_sql() -> dict[str, str]:
     lang_expr = _lang_sql()
 
     return {
+        "host_quality_rollup": f"""
+            WITH q AS (
+              SELECT {_HOST.format(id="doc_id")} AS host, lang,
+                     round(least(n_tokens, 100) * 0.3
+                           + (n_distinct_tokens / greatest(n_tokens, 1)) * 30
+                           + (n_stop / greatest(n_tokens, 1)) * 100 * 0.2
+                           + (1 - least((n_punct / greatest(n_chars2, 1)) * 5,
+                                        1.0)) * 20, 4) AS quality_score
+              FROM (
+                SELECT doc_id, lang,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS n_tokens,
+                  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                  len(list_distinct(regexp_split_to_array(trim(text),
+                                                          '\\s+')))
+                      AS n_distinct_tokens,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                        '\\s+'),
+                      t -> list_contains(['the','and','of','to','a','in','is',
+                                          'that'], t))) AS n_stop,
+                  length(text) AS n_chars2
+                FROM documents
+              )
+            ),
+            roll AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+                     round(avg(quality_score), 4) AS mean_quality
+              FROM q GROUP BY host
+            ),
+            hl AS (
+              SELECT host, lang, CAST(count(*) AS BIGINT) AS c
+              FROM q GROUP BY host, lang
+            ),
+            ent AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_langs,
+                     round(ln(CAST(sum(c) AS DOUBLE))
+                           - sum(c * ln(CAST(c AS DOUBLE)))
+                             / sum(c), 4) AS lang_entropy
+              FROM hl GROUP BY host
+            )
+            SELECT host, n_docs, mean_quality, n_langs, lang_entropy
+            FROM roll JOIN ent USING (host)
+        """,
         "dsir_weights": _DSIR_WTS_CTE + """
             SELECT doc_id, n_grams, log_weight FROM allw
         """,

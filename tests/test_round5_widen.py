@@ -174,3 +174,66 @@ def test_novelty_bounds_and_row_count(docs):
     assert len(rows) == docs.count()
     assert all(0.0 <= r.novelty <= 1.0 for r in rows)
     assert all(r.n_novel <= r.n_shingles for r in rows)
+
+
+# ------------------------------------------------- sketch mergeability
+
+
+def test_cms_merge_equals_whole_corpus_grid(spark, docs):
+    from warctools_spark.operators.sketches import (
+        cms_counters,
+        cms_lookup,
+        cms_merge,
+    )
+
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    merged = cms_merge(cms_counters(a), cms_counters(b))
+    whole = cms_counters(docs)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    # point queries through the merged grid match the whole-corpus grid
+    probes = spark.createDataFrame([("the",), ("absent-token",)], "token string")
+    got = {r.token: r.n_cms for r in cms_lookup(merged, probes).collect()}
+    want = {r.token: r.n_cms for r in cms_lookup(whole, probes).collect()}
+    assert got == want
+    assert got["absent-token"] >= 0  # missing buckets read as 0
+
+
+def test_hll_merge_equals_union_registers(spark):
+    from warctools_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.range(0, 6000).select(F.concat(F.lit("u-"), "id").alias("u"))
+    b = spark.range(4000, 9000).select(F.concat(F.lit("u-"), "id").alias("u"))
+    merged = hll_merge(hll_registers(a, "u"), hll_registers(b, "u"))
+    union = hll_registers(a.union(b), "u")
+    assert merged.exceptAll(union).count() == 0
+    assert union.exceptAll(merged).count() == 0
+    est = hll_estimate(merged).collect()[0].n_hll
+    assert abs(est - 9000) / 9000 < 4 * 1.04 / (256 ** 0.5)
+
+
+def test_host_quality_rollup_shapes(spark):
+    from warctools_spark.operators.text_analysis import host_quality_rollup
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox", "en", "a.com"),
+            (1, "the lazy dog sleeps", "en", "a.com"),
+            (2, "le chat noir dort", "fr", "a.com"),
+            (3, "mirror mirror mirror", "en", "b.com"),
+        ],
+        "doc_id long, text string, lang string, host string",
+    )
+    out = {r.host: r for r in host_quality_rollup(df).collect()}
+    assert out["a.com"].n_docs == 3 and out["a.com"].n_langs == 2
+    assert out["b.com"].n_docs == 1 and out["b.com"].n_langs == 1
+    assert out["b.com"].lang_entropy == 0.0  # single-language host
+    import math
+
+    want = round(math.log(3) - (2 * math.log(2)) / 3, 4)
+    assert abs(out["a.com"].lang_entropy - want) < 1e-9

@@ -39,6 +39,93 @@ def _hash60(col: Column, seed: str) -> Column:
     ).cast("long")
 
 
+def cms_counters(
+    docs: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cms-v1",
+    text_col: str = "text",
+) -> DataFrame:
+    """The count-min counter grid for a corpus (or ONE epoch of one):
+    (j, bucket, cnt), at most depth*width rows. This is the sketch's
+    mergeable state — persist it per epoch, fold epochs with
+    cms_merge(), answer point queries with cms_lookup()."""
+    freq = _token_freq(docs, text_col)
+    return _cms_hashed(freq, width, depth, seed).groupBy("j", "bucket").agg(
+        F.sum("n_exact").cast("long").alias("cnt")
+    )
+
+
+def cms_merge(*grids: DataFrame) -> DataFrame:
+    """Fold counter grids (e.g. one per crawl epoch) into one:
+    elementwise sum. Exactly equals the grid built from the unioned
+    corpora — CMS is linear in the input counts."""
+    it = iter(grids)
+    out = next(it)
+    for g in it:
+        out = out.unionByName(g)
+    return out.groupBy("j", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_lookup(
+    counters: DataFrame,
+    tokens: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cms-v1",
+    token_col: str = "token",
+) -> DataFrame:
+    """Point-query the sketch: estimated corpus count for each probe
+    token — min over the depth rows of its counters. The grid
+    broadcasts (constant size); the probe side is never shuffled."""
+    hashed = tokens.select(
+        F.col(token_col).alias("token"),
+        F.posexplode(
+            F.array(
+                *[
+                    (_hash60(F.concat(F.lit(f"{j}:"), F.col(token_col)), seed)
+                     % F.lit(width))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("j", "bucket"),
+    )
+    return (
+        hashed.join(F.broadcast(counters), ["j", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("n_cms"))
+    )
+
+
+def _token_freq(docs: DataFrame, text_col: str) -> DataFrame:
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+
+
+def _cms_hashed(
+    freq: DataFrame, width: int, depth: int, seed: str
+) -> DataFrame:
+    return freq.select(
+        "token",
+        "n_exact",
+        F.posexplode(
+            F.array(
+                *[
+                    (_hash60(F.concat(F.lit(f"{j}:"), F.col("token")), seed)
+                     % F.lit(width))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("j", "bucket"),
+    )
+
+
 def cms_top_tokens(
     docs: DataFrame,
     width: int = 1024,
@@ -63,23 +150,8 @@ def cms_top_tokens(
     input. The counter grid is depth*width rows REGARDLESS of corpus
     size — it broadcasts, and a per-epoch grid merges into a lifetime
     grid by elementwise sum."""
-    toks = docs.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
-    ).where(F.col("token") != "")
-    freq = toks.groupBy("token").agg(F.count("*").cast("long").alias("n_exact"))
-    hashed = freq.select(
-        "token",
-        "n_exact",
-        F.posexplode(
-            F.array(
-                *[
-                    (_hash60(F.concat(F.lit(f"{j}:"), F.col("token")), seed)
-                     % F.lit(width))
-                    for j in range(depth)
-                ]
-            )
-        ).alias("j", "bucket"),
-    )
+    freq = _token_freq(docs, text_col)
+    hashed = _cms_hashed(freq, width, depth, seed)
     counters = hashed.groupBy("j", "bucket").agg(
         F.sum("n_exact").cast("long").alias("cnt")
     )
@@ -120,15 +192,40 @@ def hll_distinct(
     the audit only; a production tick reads just the register table.
 
     m=256 -> ~1.04/sqrt(256) = 6.5% standard error in ~256 bytes."""
+    reg = hll_registers(df, value_col, m, seed)
+    exact = df.agg(F.countDistinct(value_col).cast("long").alias("n_exact"))
+    return (
+        _hll_stats(reg, m)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact",
+            F.round(F.col("__est"), 4).alias("n_hll"),
+            F.round(
+                F.abs(F.col("__est") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    m: int = 256,
+    seed: str = "hll-v1",
+) -> DataFrame:
+    """The HLL register table for a value set (or ONE epoch of one):
+    (idx, minv), at most m rows — the sketch's mergeable state.
+    minv is the MIN of the post-index hash bits per register, which
+    carries the max leading-zero rank (bitlen is monotone); persist
+    it per epoch and fold epochs with hll_merge(). One map-side-
+    combinable min() agg is the only corpus-sized stage."""
     if m & (m - 1):
         raise ValueError("m must be a power of two")
-    spark = df.sparkSession
     p = m.bit_length() - 1
-    bits = 60 - p  # hash bits left after the register index
     h = _hash60(F.col(value_col), seed)
     # idx from the low p bits, v from the high bits — bit ops, never
     # float division (a 60-bit value does not fit a double mantissa)
-    reg = (
+    return (
         df.select(
             h.bitwiseAND(F.lit(m - 1)).alias("idx"),
             F.shiftright(h, p).alias("v"),
@@ -136,6 +233,35 @@ def hll_distinct(
         .groupBy("idx")
         .agg(F.min("v").alias("minv"))
     )
+
+
+def hll_merge(*regs: DataFrame) -> DataFrame:
+    """Fold register tables (e.g. one per crawl epoch) into one:
+    elementwise min(minv) = elementwise max rank. Exactly equals the
+    registers built from the unioned value sets — HLL state depends
+    only on the set of hashes seen."""
+    it = iter(regs)
+    out = next(it)
+    for r in it:
+        out = out.unionByName(r)
+    return out.groupBy("idx").agg(F.min("minv").alias("minv"))
+
+
+def hll_estimate(regs: DataFrame, m: int = 256) -> DataFrame:
+    """Distinct-count estimate from a register table alone — the
+    production monitoring path: no rescan of the corpus, just the
+    <= m-row state. Output: one row (n_hll)."""
+    return _hll_stats(regs, m).select(F.round(F.col("__est"), 4).alias("n_hll"))
+
+
+def _hll_stats(reg: DataFrame, m: int) -> DataFrame:
+    """(idx, minv) registers -> one row with the corrected HLL
+    estimate in __est (plus Z and V for inspection)."""
+    if m & (m - 1):
+        raise ValueError("m must be a power of two")
+    spark = reg.sparkSession
+    p = m.bit_length() - 1
+    bits = 60 - p  # hash bits left after the register index
     powers = spark.range(bits).select(
         F.col("id").alias("k"), F.pow(F.lit(2.0), F.col("id")).cast("long").alias("p2")
     )
@@ -161,19 +287,9 @@ def hll_distinct(
         F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("Z"),
         F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).cast("long").alias("V"),
     )
-    exact = df.agg(F.countDistinct(value_col).cast("long").alias("n_exact"))
     est_raw = F.lit(alpha * m * m) / F.col("Z")
     est = F.when(
         (est_raw <= 2.5 * m) & (F.col("V") > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("V")),
     ).otherwise(est_raw)
-    return (
-        stats.crossJoin(F.broadcast(exact))
-        .select(
-            "n_exact",
-            F.round(est, 4).alias("n_hll"),
-            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
-                "rel_err"
-            ),
-        )
-    )
+    return stats.select("Z", "V", est.alias("__est"))

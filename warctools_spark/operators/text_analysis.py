@@ -1018,3 +1018,46 @@ def ngram_novelty(
             F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
         )
     )
+
+
+def host_quality_rollup(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host reputation rollup — the host-level signal a frontier
+    scheduler uses to up/down-prioritize WHOLE hosts (a spam farm is
+    cheaper to kill at the host than per URL): doc count, mean
+    composite quality score, distinct languages, and language entropy
+    in nats (mirrors/parked domains show near-zero entropy; scraped
+    mixed-content farms show implausibly high).
+
+    Output: (host, n_docs, mean_quality, n_langs, lang_entropy).
+
+    Scale: two map-side-combinable hash aggs — (host, lang) counts,
+    then per-host — and one host-keyed join of two already-aggregated
+    tables; a hot host collapses to one row per partition in the
+    partial agg, so host skew never concentrates raw rows. Entropy
+    uses the exact H = ln(n) - sum(c*ln(c))/n rearrangement so both
+    aggs stay single-pass."""
+    q = quality_score(docs, text_col)
+    roll = q.groupBy(host_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("quality_score"), 4).alias("mean_quality"),
+    )
+    hl = docs.groupBy(host_col, lang_col).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    ent = hl.groupBy(host_col).agg(
+        F.count("*").cast("long").alias("n_langs"),
+        F.round(
+            F.log(F.sum("__c").cast("double"))
+            - F.sum(F.col("__c") * F.log(F.col("__c").cast("double")))
+            / F.sum("__c"),
+            4,
+        ).alias("lang_entropy"),
+    )
+    return roll.join(ent, host_col).select(
+        host_col, "n_docs", "mean_quality", "n_langs", "lang_entropy"
+    )
