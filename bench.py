@@ -214,6 +214,24 @@ def q_ivf_kmeans(spark, pages_path):
     ).count()
 
 
+def q_dsir_weights(spark, pages_path):
+    """Extra measurement: DSIR importance weights over the documents
+    table (hashed unigram+bigram log-ratio vs the lang='en' target)."""
+    from warctools_spark.operators.sampling import dsir_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    return dsir_weights(docs, docs.where("lang = 'en'")).count()
+
+
+def q_ngram_novelty(spark, pages_path):
+    """Extra measurement: per-doc 5-gram novelty (shingle explode +
+    min-agg first-occurrence + join-back)."""
+    from warctools_spark.operators.text_analysis import ngram_novelty
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    return ngram_novelty(docs).count()
+
+
 def main():
     from warctools_spark.session import get_spark
 
@@ -292,6 +310,8 @@ def main():
         # recorded interval through shared-VM noise phases
         ("winnow_fingerprints", q_winnow, 7),
         ("ivf_kmeans_topk", q_ivf_kmeans, 3),
+        ("dsir_weights", q_dsir_weights, 3),
+        ("ngram_novelty", q_ngram_novelty, 3),
     ):
         results[name], extra_cold[name], extra[name], spreads[name] = timed(
             fn, pages_path, runs=runs
