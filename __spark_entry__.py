@@ -1421,7 +1421,10 @@ def _q_dsir_weights(spark, sf_dir):
     from warctools_spark.operators.sampling import dsir_weights
 
     docs = _docs(spark, sf_dir)
-    return dsir_weights(docs, docs.where("lang = 'en'"))
+    # target is a subset of docs -> the predicate path tokenizes and
+    # hashes each doc ONCE (the two-DataFrame path would hash every
+    # en doc twice)
+    return dsir_weights(docs, target_predicate="lang = 'en'")
 
 
 def _q_dsir_select(spark, sf_dir):
@@ -1430,7 +1433,7 @@ def _q_dsir_select(spark, sf_dir):
     from warctools_spark.operators.sampling import dsir_select
 
     docs = _docs(spark, sf_dir)
-    return dsir_select(docs, docs.where("lang = 'en'"), k=100)
+    return dsir_select(docs, k=100, target_predicate="lang = 'en'")
 
 
 def _q_ccnet_buckets(spark, sf_dir):
@@ -1476,15 +1479,9 @@ def _q_host_quality_rollup(spark, sf_dir):
     language entropy — the host-level frontier prioritization
     signal (kill a spam farm at the host, not per URL)."""
     from warctools_spark.operators.text_analysis import host_quality_rollup
+    from warctools_spark.sources.pages import host_expr
 
-    docs = _docs(spark, sf_dir).withColumn(
-        "host",
-        F.expr(
-            "CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com' "
-            "ELSE concat('src', CAST(doc_id % 20 AS STRING), "
-            "'.example.com') END"
-        ),
-    )
+    docs = _docs(spark, sf_dir).withColumn("host", host_expr(F.col("doc_id")))
     return host_quality_rollup(docs)
 
 

@@ -220,7 +220,7 @@ def q_dsir_weights(spark, pages_path):
     from warctools_spark.operators.sampling import dsir_weights
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
-    return dsir_weights(docs, docs.where("lang = 'en'")).count()
+    return dsir_weights(docs, target_predicate="lang = 'en'").count()
 
 
 def q_ngram_novelty(spark, pages_path):

@@ -74,9 +74,37 @@ def test_dsir_select_is_deterministic_topk(docs):
     s2 = dsir_select(docs.repartition(13), target, k=25).collect()
     assert len(s1) == 25
     assert {r.doc_id for r in s1} == {r.doc_id for r in s2}
-    # selection is biased toward high-weight docs vs a uniform draw
-    scores = sorted(r.dsir_score for r in s1)
-    assert scores[0] > float("-inf")
+    # selection is biased toward high-weight docs vs a uniform draw:
+    # the selected set's mean log-weight must beat the corpus mean
+    # (pure-Gumbel/uniform sampling would match it in expectation)
+    corpus_mean = dsir_weights(docs, target).agg(
+        F.avg("log_weight")
+    ).collect()[0][0]
+    sel_mean = sum(r.log_weight for r in s1) / len(s1)
+    assert sel_mean > corpus_mean
+
+
+def test_dsir_target_predicate_equals_target_dataframe(docs):
+    # the single-pass predicate path must be output-identical to
+    # passing the filtered DataFrame (it is the driver's call shape)
+    a = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_weights(docs, docs.where("lang = 'en'")).collect()
+    }
+    b = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_weights(docs, target_predicate="lang = 'en'").collect()
+    }
+    assert a == b
+
+
+def test_dsir_requires_exactly_one_target_form(docs):
+    with pytest.raises(ValueError):
+        dsir_weights(docs)
+    with pytest.raises(ValueError):
+        dsir_weights(
+            docs, docs.where("lang = 'en'"), target_predicate="lang = 'en'"
+        )
 
 
 def test_dsir_plan_broadcasts_ratio_table_no_python(docs):
@@ -148,7 +176,7 @@ def test_hll_is_insensitive_to_duplication(spark):
 
 
 def test_sketch_plans_stay_jvm_side(docs):
-    for df in (cms_top_tokens(docs), ):
+    for df in (cms_top_tokens(docs), hll_distinct(docs, "doc_id")):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -215,6 +243,57 @@ def test_hll_merge_equals_union_registers(spark):
     assert union.exceptAll(merged).count() == 0
     est = hll_estimate(merged).collect()[0].n_hll
     assert abs(est - 9000) / 9000 < 4 * 1.04 / (256 ** 0.5)
+
+
+def test_sketch_parameter_mismatch_raises(spark, docs):
+    from pyspark.errors import SparkRuntimeException
+    from warctools_spark.operators.sketches import (
+        cms_counters,
+        cms_lookup,
+        cms_merge,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    probes = spark.createDataFrame([("the",)], "token string")
+    sub = docs.limit(50)
+    # consume with different build parameters -> execution-time error,
+    # never a silently-wrong estimate
+    with pytest.raises(SparkRuntimeException):
+        cms_lookup(cms_counters(sub, width=2048), probes, width=1024).collect()
+    with pytest.raises(SparkRuntimeException):
+        hll_estimate(hll_registers(sub, "doc_id", m=512), m=256).collect()
+    # folding states built with different parameters -> same
+    with pytest.raises(SparkRuntimeException):
+        cms_merge(cms_counters(sub), cms_counters(sub, seed="other")).collect()
+    with pytest.raises(SparkRuntimeException):
+        hll_merge(
+            hll_registers(sub, "doc_id", m=256),
+            hll_registers(sub, "doc_id", m=128),
+        ).collect()
+
+
+def test_hll_small_m_uses_tabulated_alpha(spark):
+    # m=16 must use Flajolet's tabulated alpha_16=0.673, not the
+    # m>=128 closed form (0.7686, a systematic +14%): replay the
+    # estimate from the registers in Python and pin exact equality
+    from warctools_spark.operators.sketches import hll_registers
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("s-"), F.col("id")).alias("u")
+    )
+    minv = {r.idx: r.minv for r in hll_registers(df, "u", m=16).collect()}
+    bits = 60 - 4
+    rho = {
+        i: (bits + 1 if v == 0 else bits + 1 - v.bit_length())
+        for i, v in minv.items()
+    }
+    z = sum(2.0 ** -rho.get(i, 0) for i in range(16))
+    expected = 0.673 * 16 * 16 / z  # all registers hit -> no correction
+    assert all(i in rho for i in range(16))
+    got = hll_distinct(df, "u", m=16).collect()[0].n_hll
+    assert abs(got - round(expected, 4)) < 1e-6
 
 
 def test_host_quality_rollup_shapes(spark):

@@ -18,18 +18,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from warctools_spark.functions.exprs import portable_hash60
+
 _MOD = 1_000_000
 
 
 def hash_unit(id_col: Column, seed: str) -> Column:
     """Uniform [0,1) from md5(seed:id) — first 60 bits of the digest
-    (same md5->int trick as the MinHash family; engine-portable)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return (h % _MOD) / F.lit(float(_MOD))
+    (portable_hash60; engine-portable)."""
+    return (portable_hash60(id_col, seed) % _MOD) / F.lit(float(_MOD))
 
 
 def stratified_sample(
@@ -170,16 +167,9 @@ _DSIR_BUCKETS = 4096
 
 
 def _hash_mod(col: Column, seed: str, mod: int) -> Column:
-    """Engine-portable non-negative hash: first 60 bits of
-    md5(seed:value) mod `mod` (same md5->int trick as hash_unit /
-    the MinHash family; DuckDB replica is
+    """portable_hash60 reduced mod `mod` (DuckDB replica:
     CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT) % mod)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(seed + ":"), col.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return h % F.lit(mod)
+    return portable_hash60(col, seed) % F.lit(mod)
 
 
 def _hashed_gram_counts(
@@ -209,13 +199,17 @@ def _hashed_gram_counts(
     ).otherwise(empty)
     grams = df.select(
         F.col(id_col).alias("__id"),
+        *([F.col("__is_target")] if "__is_target" in df.columns else []),
         F.explode(F.concat(w, bi)).alias("gram"),
+    )
+    keys = ["__id"] + (
+        ["__is_target"] if "__is_target" in df.columns else []
     )
     return (
         grams.select(
-            "__id", _hash_mod(F.col("gram"), seed, n_buckets).alias("bucket")
+            *keys, _hash_mod(F.col("gram"), seed, n_buckets).alias("bucket")
         )
-        .groupBy("__id", "bucket")
+        .groupBy(*keys, "bucket")
         .agg(F.count("*").cast("long").alias("c"))
     )
 
@@ -264,12 +258,13 @@ def _bucket_log_ratio(
 
 def dsir_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     n_buckets: int = _DSIR_BUCKETS,
     alpha: float = 1.0,
     seed: str = "dsir-v1",
     text_col: str = "text",
     id_col: str = "doc_id",
+    target_predicate: Column | str | None = None,
 ) -> DataFrame:
     """DSIR importance log-weights: score every raw document by how
     much more likely its hashed-n-gram bag is under the TARGET
@@ -287,9 +282,39 @@ def dsir_weights(
     then every join is per-doc-pre-aggregated counts against a
     constant `n_buckets`-row broadcast table — no corpus-sized
     shuffle keyed on skewed grams ("the the" never becomes a hot
-    join key because only its bucket's COUNT travels)."""
-    docs_b = _hashed_gram_counts(docs, text_col, id_col, n_buckets, seed)
-    target_b = _hashed_gram_counts(target, text_col, id_col, n_buckets, seed)
+    join key because only its bucket's COUNT travels).
+
+    When the target is a SUBSET of `docs` selected by a row predicate
+    (the common call), pass `target_predicate` (SQL string or Column)
+    instead of a second DataFrame: the gram stream is then tokenized
+    and hashed ONCE, with the per-doc target flag carried through the
+    pre-agg — identical output, half the hashing on a target-heavy
+    corpus."""
+    if (target is None) == (target_predicate is None):
+        raise ValueError(
+            "pass exactly one of `target` (a DataFrame) or "
+            "`target_predicate` (a row predicate over docs)"
+        )
+    if target_predicate is not None:
+        pred = (
+            F.expr(target_predicate)
+            if isinstance(target_predicate, str)
+            else target_predicate
+        )
+        both = _hashed_gram_counts(
+            docs.withColumn("__is_target", pred.cast("boolean")),
+            text_col,
+            id_col,
+            n_buckets,
+            seed,
+        )
+        docs_b = both.drop("__is_target")
+        target_b = both.where(F.col("__is_target")).drop("__is_target")
+    else:
+        docs_b = _hashed_gram_counts(docs, text_col, id_col, n_buckets, seed)
+        target_b = _hashed_gram_counts(
+            target, text_col, id_col, n_buckets, seed
+        )
     lam = _bucket_log_ratio(docs_b, target_b, n_buckets, alpha)
     wts = (
         docs_b.join(F.broadcast(lam), "bucket")
@@ -312,13 +337,14 @@ def dsir_weights(
 
 def dsir_select(
     docs: DataFrame,
-    target: DataFrame,
-    k: int,
+    target: DataFrame | None = None,
+    k: int = 100,
     n_buckets: int = _DSIR_BUCKETS,
     alpha: float = 1.0,
     seed: str = "dsir-v1",
     text_col: str = "text",
     id_col: str = "doc_id",
+    target_predicate: Column | str | None = None,
 ) -> DataFrame:
     """DSIR selection stage: Gumbel-top-k resampling over the
     importance weights — equivalent to sampling k docs without
@@ -335,7 +361,16 @@ def dsir_select(
     Scale: top-k by ORDER BY+LIMIT compiles to TakeOrderedAndProject
     — per-partition heaps then a driver merge of k rows, never a
     global sort."""
-    wts = dsir_weights(docs, target, n_buckets, alpha, seed, text_col, id_col)
+    wts = dsir_weights(
+        docs,
+        target,
+        n_buckets,
+        alpha,
+        seed,
+        text_col,
+        id_col,
+        target_predicate=target_predicate,
+    )
     # u in (0,1): (h + 0.5) / MOD can't hit the ln(0) endpoints
     h = _hash_mod(F.col(id_col), seed + "-gumbel", _MOD)
     u = (h.cast("double") + 0.5) / F.lit(float(_MOD))

@@ -25,18 +25,62 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from warctools_spark.functions.exprs import portable_hash60 as _hash60
 
-def _hash60(col: Column, seed: str) -> Column:
-    """First 60 bits of md5(seed:value) as a non-negative long —
-    the repo-standard engine-portable hash (DuckDB replica:
-    CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT))."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(seed + ":"), col.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+
+def _cms_bucket_array(col: Column, width: int, depth: int, seed: str) -> Column:
+    """The depth bucket hashes for one token, posexplode-ready. This
+    is the ONE definition both the grid build and point lookups go
+    through — they are only correct together because the expression
+    is shared (a drift in either side makes every lookup silently
+    wrong while the grid itself still oracle-checks)."""
+    return F.array(
+        *[
+            (_hash60(F.concat(F.lit(f"{j}:"), col), seed) % F.lit(width))
+            for j in range(depth)
+        ]
+    )
+
+
+def _with_params(df: DataFrame, **params) -> DataFrame:
+    """Stamp sketch parameters onto the state table as constant
+    columns, so consume/merge paths can verify them at execution time
+    instead of silently mis-hashing against a grid built with
+    different parameters."""
+    for k, v in params.items():
+        df = df.withColumn(k, F.lit(v))
+    return df
+
+
+def _assert_params(df: DataFrame, what: str, **params) -> DataFrame:
+    """Lazily assert every state row carries the expected parameters
+    (raises at execution — the states are lazy, so an eager check
+    would force a job). Returns the state with param columns dropped.
+    Done via .where(assert_true(..).isNull()) — a dropped unused
+    column would be pruned by Catalyst and never evaluated."""
+    cond = F.lit(True)
+    for k, v in params.items():
+        cond = cond & (F.col(k) == F.lit(v))
+    msg = (
+        f"{what}: state was built with different parameters than "
+        f"requested {params} — estimates would be silently wrong"
+    )
+    return df.where(F.assert_true(cond, F.lit(msg)).isNull()).drop(
+        *params.keys()
+    )
+
+
+def _assert_uniform_params(df: DataFrame, what: str, cols: list[str]) -> DataFrame:
+    """Lazily assert all states being folded share one parameter set
+    (mixed-parameter grids would union without colliding and read
+    back as plausible garbage)."""
+    n = df.select(*cols).distinct().agg(F.count("*").alias("__nparam"))
+    msg = f"{what}: cannot fold sketches built with different parameters"
+    return (
+        df.crossJoin(F.broadcast(n))
+        .where(F.assert_true(F.col("__nparam") == 1, F.lit(msg)).isNull())
+        .drop("__nparam")
+    )
 
 
 def cms_counters(
@@ -47,25 +91,31 @@ def cms_counters(
     text_col: str = "text",
 ) -> DataFrame:
     """The count-min counter grid for a corpus (or ONE epoch of one):
-    (j, bucket, cnt), at most depth*width rows. This is the sketch's
-    mergeable state — persist it per epoch, fold epochs with
-    cms_merge(), answer point queries with cms_lookup()."""
+    (j, bucket, cnt) + constant (width, depth, seed) parameter stamp,
+    at most depth*width rows. This is the sketch's mergeable state —
+    persist it per epoch, fold epochs with cms_merge(), answer point
+    queries with cms_lookup(); both verify the stamp at execution."""
     freq = _token_freq(docs, text_col)
-    return _cms_hashed(freq, width, depth, seed).groupBy("j", "bucket").agg(
+    grid = _cms_hashed(freq, width, depth, seed).groupBy("j", "bucket").agg(
         F.sum("n_exact").cast("long").alias("cnt")
     )
+    return _with_params(grid, width=width, depth=depth, seed=seed)
 
 
 def cms_merge(*grids: DataFrame) -> DataFrame:
     """Fold counter grids (e.g. one per crawl epoch) into one:
     elementwise sum. Exactly equals the grid built from the unioned
-    corpora — CMS is linear in the input counts."""
+    corpora — CMS is linear in the input counts. Raises at execution
+    if the grids were built with different (width, depth, seed)."""
     it = iter(grids)
     out = next(it)
     for g in it:
         out = out.unionByName(g)
-    return out.groupBy("j", "bucket").agg(
-        F.sum("cnt").cast("long").alias("cnt")
+    out = _assert_uniform_params(out, "cms_merge", ["width", "depth", "seed"])
+    return (
+        out.groupBy("j", "bucket", "width", "depth", "seed")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select("j", "bucket", "cnt", "width", "depth", "seed")
     )
 
 
@@ -79,17 +129,16 @@ def cms_lookup(
 ) -> DataFrame:
     """Point-query the sketch: estimated corpus count for each probe
     token — min over the depth rows of its counters. The grid
-    broadcasts (constant size); the probe side is never shuffled."""
+    broadcasts (constant size); the probe side is never shuffled.
+    Raises at execution if the grid's parameter stamp differs from
+    the (width, depth, seed) the probes are hashed with."""
+    counters = _assert_params(
+        counters, "cms_lookup", width=width, depth=depth, seed=seed
+    )
     hashed = tokens.select(
         F.col(token_col).alias("token"),
         F.posexplode(
-            F.array(
-                *[
-                    (_hash60(F.concat(F.lit(f"{j}:"), F.col(token_col)), seed)
-                     % F.lit(width))
-                    for j in range(depth)
-                ]
-            )
+            _cms_bucket_array(F.col(token_col), width, depth, seed)
         ).alias("j", "bucket"),
     )
     return (
@@ -115,13 +164,7 @@ def _cms_hashed(
         "token",
         "n_exact",
         F.posexplode(
-            F.array(
-                *[
-                    (_hash60(F.concat(F.lit(f"{j}:"), F.col("token")), seed)
-                     % F.lit(width))
-                    for j in range(depth)
-                ]
-            )
+            _cms_bucket_array(F.col("token"), width, depth, seed)
         ).alias("j", "bucket"),
     )
 
@@ -214,18 +257,18 @@ def hll_registers(
     seed: str = "hll-v1",
 ) -> DataFrame:
     """The HLL register table for a value set (or ONE epoch of one):
-    (idx, minv), at most m rows — the sketch's mergeable state.
+    (idx, minv) + constant (m, seed) parameter stamp, at most m rows
+    — the sketch's mergeable state.
     minv is the MIN of the post-index hash bits per register, which
     carries the max leading-zero rank (bitlen is monotone); persist
     it per epoch and fold epochs with hll_merge(). One map-side-
     combinable min() agg is the only corpus-sized stage."""
-    if m & (m - 1):
-        raise ValueError("m must be a power of two")
+    _check_m(m)
     p = m.bit_length() - 1
     h = _hash60(F.col(value_col), seed)
     # idx from the low p bits, v from the high bits — bit ops, never
     # float division (a 60-bit value does not fit a double mantissa)
-    return (
+    reg = (
         df.select(
             h.bitwiseAND(F.lit(m - 1)).alias("idx"),
             F.shiftright(h, p).alias("v"),
@@ -233,32 +276,52 @@ def hll_registers(
         .groupBy("idx")
         .agg(F.min("v").alias("minv"))
     )
+    return _with_params(reg, m=m, seed=seed)
 
 
 def hll_merge(*regs: DataFrame) -> DataFrame:
     """Fold register tables (e.g. one per crawl epoch) into one:
     elementwise min(minv) = elementwise max rank. Exactly equals the
     registers built from the unioned value sets — HLL state depends
-    only on the set of hashes seen."""
+    only on the set of hashes seen. Raises at execution if the
+    register tables were built with different (m, seed)."""
     it = iter(regs)
     out = next(it)
     for r in it:
         out = out.unionByName(r)
-    return out.groupBy("idx").agg(F.min("minv").alias("minv"))
+    out = _assert_uniform_params(out, "hll_merge", ["m", "seed"])
+    return (
+        out.groupBy("idx", "m", "seed")
+        .agg(F.min("minv").alias("minv"))
+        .select("idx", "minv", "m", "seed")
+    )
 
 
 def hll_estimate(regs: DataFrame, m: int = 256) -> DataFrame:
     """Distinct-count estimate from a register table alone — the
     production monitoring path: no rescan of the corpus, just the
-    <= m-row state. Output: one row (n_hll)."""
+    <= m-row state. Output: one row (n_hll). Raises at execution if
+    the registers' parameter stamp says they were built with a
+    different m (the estimate would be silently garbage)."""
+    regs = _assert_params(regs.drop("seed"), "hll_estimate", m=m)
     return _hll_stats(regs, m).select(F.round(F.col("__est"), 4).alias("n_hll"))
+
+
+def _check_m(m: int) -> None:
+    if m < 16 or (m & (m - 1)):
+        raise ValueError("m must be a power of two >= 16")
+
+
+# Flajolet et al. 2007 fig. 3: alpha_16/32/64 are tabulated exactly;
+# the closed form 0.7213/(1+1.079/m) is the m >= 128 approximation
+# (using it at m=16 would systematically overestimate by ~14%).
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
 
 def _hll_stats(reg: DataFrame, m: int) -> DataFrame:
     """(idx, minv) registers -> one row with the corrected HLL
     estimate in __est (plus Z and V for inspection)."""
-    if m & (m - 1):
-        raise ValueError("m must be a power of two")
+    _check_m(m)
     spark = reg.sparkSession
     p = m.bit_length() - 1
     bits = 60 - p  # hash bits left after the register index
@@ -282,7 +345,7 @@ def _hll_stats(reg: DataFrame, m: int) -> DataFrame:
     regs = dom.join(bitlen, "idx", "left").select(
         "idx", F.coalesce(F.col("M"), F.lit(0)).alias("M")
     )
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
     stats = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("Z"),
         F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).cast("long").alias("V"),
