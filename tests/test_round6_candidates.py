@@ -1,0 +1,238 @@
+"""Round-6 registration candidates: host-graph PageRank and BM25
+ranked retrieval. The 50-entry certification window is saturated this
+round (95 = 50 in-window + 45 r04-certified tail), so these ship with
+oracle-GRADE evidence locally — each test replays the exact
+computation in DuckDB and compares the full value multiset — and get
+their queries()/oracle_sql() entries when window capacity opens in
+round 6."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from warctools_spark.operators.graph import pagerank
+from warctools_spark.operators.retrieval import bm25_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(SF_DIR + "/documents.parquet").cache()
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def _toy_edges(spark):
+    # a -> b -> c -> a cycle plus d -> a and a sink e reached from c
+    rows = [
+        ("a", "b", 1.0),
+        ("b", "c", 1.0),
+        ("c", "a", 2.0),
+        ("c", "e", 1.0),
+        ("d", "a", 1.0),
+    ]
+    return spark.createDataFrame(rows, "src_host string, dst_host string, w double")
+
+
+def test_pagerank_mass_conserved_and_orders_sensibly(spark):
+    pr = {
+        r.node: r.pagerank
+        for r in pagerank(_toy_edges(spark), weight_col="w").collect()
+    }
+    assert set(pr) == {"a", "b", "c", "d", "e"}
+    # dangling redistribution keeps total mass at ~1
+    assert abs(sum(pr.values()) - 1.0) < 1e-4
+    # c receives ALL of b's mass (b's only edge) -> the top rank;
+    # d receives only the dangling redistribution -> the bottom;
+    # a (2/3 of c + d + dangling) beats e (1/3 of c + dangling)
+    assert pr["c"] == max(pr.values())
+    assert pr["d"] == min(pr.values())
+    assert pr["a"] > pr["e"]
+
+
+def test_pagerank_partitioning_invariant(spark):
+    e = _toy_edges(spark)
+    a = {r.node: r.pagerank for r in pagerank(e, weight_col="w").collect()}
+    b = {
+        r.node: r.pagerank
+        for r in pagerank(e.repartition(7), weight_col="w").collect()
+    }
+    assert a == b
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    with pytest.raises(ValueError):
+        pagerank(_toy_edges(spark), damping=1.0)
+
+
+def _synth_edges(docs):
+    # deterministic host-level edge table derived from the documents
+    # corpus (same shape as host_graph, but SQL-replayable without
+    # the page-harvest pipeline): each doc links its host to the host
+    # of doc (doc_id * 31 + 7) % 500, weight = links collapsed
+    from warctools_spark.sources.pages import host_expr
+
+    return (
+        docs.select(
+            host_expr(F.col("doc_id")).alias("src_host"),
+            host_expr((F.col("doc_id") * 31 + 7) % 500).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("double").alias("n_links"))
+    )
+
+
+_EDGES_SQL = """
+    SELECT
+      CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+           ELSE concat('src', CAST(doc_id % 20 AS VARCHAR), '.example.com')
+      END AS src_host,
+      CASE WHEN ((doc_id * 31 + 7) % 500) % 10 < 3 THEN 'hot.example.com'
+           ELSE concat('src', CAST(((doc_id * 31 + 7) % 500) % 20 AS VARCHAR),
+                       '.example.com')
+      END AS dst_host,
+      CAST(COUNT(*) AS DOUBLE) AS n_links
+    FROM docs GROUP BY 1, 2
+"""
+
+
+def test_pagerank_matches_duckdb_replay(spark, docs):
+    n_iter, d = 10, 0.85
+    got = {
+        (r.node, r.pagerank)
+        for r in pagerank(_synth_edges(docs), n_iter=n_iter, weight_col="n_links").collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    con.execute(f"CREATE TEMP TABLE edges AS {_EDGES_SQL}")
+    con.execute(
+        """CREATE TEMP TABLE nodes AS
+           SELECT DISTINCT node FROM (
+             SELECT src_host AS node FROM edges
+             UNION SELECT dst_host FROM edges)"""
+    )
+    n = con.execute("SELECT COUNT(*) FROM nodes").fetchone()[0]
+    con.execute(
+        """CREATE TEMP TABLE share AS
+           SELECT e.src_host AS src, e.dst_host AS dst,
+                  SUM(e.n_links) / w.wout AS share
+           FROM edges e
+           JOIN (SELECT src_host, SUM(n_links) AS wout
+                 FROM edges GROUP BY 1) w ON w.src_host = e.src_host
+           GROUP BY e.src_host, e.dst_host, w.wout"""
+    )
+    con.execute(
+        """CREATE TEMP TABLE sinks AS
+           SELECT node FROM nodes
+           WHERE node NOT IN (SELECT DISTINCT src_host FROM edges)"""
+    )
+    con.execute(
+        f"CREATE TEMP TABLE ranks AS SELECT node, ROUND(1.0 / {n}, 12) AS pr FROM nodes"
+    )
+    base = (1.0 - d) / n
+    for _ in range(n_iter):
+        con.execute(
+            f"""CREATE OR REPLACE TEMP TABLE ranks AS
+            WITH contrib AS (
+              SELECT s.dst, SUM(r.pr * s.share) AS c
+              FROM share s JOIN ranks r ON r.node = s.src GROUP BY s.dst
+            ), dang AS (
+              SELECT COALESCE(SUM(r.pr), 0.0) AS dang
+              FROM sinks k JOIN ranks r ON r.node = k.node
+            )
+            SELECT n.node,
+                   ROUND({base} + {d} * (COALESCE(c.c, 0.0)
+                         + (SELECT dang FROM dang) / {n}), 12) AS pr
+            FROM nodes n LEFT JOIN contrib c ON c.dst = n.node"""
+        )
+    want = {
+        (node, pr)
+        for node, pr in con.execute(
+            "SELECT node, ROUND(pr, 6) FROM ranks"
+        ).fetchall()
+    }
+    assert got == want
+
+
+# ----------------------------------------------------------------- bm25
+
+
+def test_bm25_prefers_denser_shorter_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "crawl the web crawl the frontier"),
+            (1, "crawl " + "filler " * 60),
+            (2, "nothing relevant here at all"),
+            (3, "crawl crawl crawl"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, ["crawl", "frontier"], k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 2 not in ids  # no query term -> never appears
+    assert ids[0] == 0  # both terms, short doc wins
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[0].n_hits == 2 and by_id[3].n_hits == 1
+    # dense short doc beats the diluted long one on the same term
+    assert by_id[3].score > by_id[1].score
+
+
+def test_bm25_query_terms_case_and_dup_insensitive(docs):
+    a = [tuple(r) for r in bm25_topk(docs, ["the", "and"], k=5).collect()]
+    b = [tuple(r) for r in bm25_topk(docs, ["The", "AND", "the"], k=5).collect()]
+    assert a == b
+
+
+def test_bm25_rejects_empty_query(docs):
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+
+
+def test_bm25_matches_duckdb_replay(spark, docs):
+    query, k1, b = ["crawl", "data", "quality"], 1.2, 0.75
+    got = [tuple(r) for r in bm25_topk(docs, query, k=20).collect()]
+
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query)))
+    want = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(lower(text)), '\\s+')) AS dl,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM docs
+        ), tf AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, ANY_VALUE(dl) AS dl
+          FROM toks WHERE term IN ({terms}) GROUP BY doc_id, term
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(len(string_split_regex(trim(lower(text)), '\\s+'))) AS avgdl
+          FROM docs
+        ), idf AS (
+          SELECT term, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf, s.avgdl
+          FROM (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM tf GROUP BY term) d, stats s
+        )
+        SELECT doc_id,
+               ROUND(SUM(idf * tf * ({k1} + 1.0)
+                     / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))), 4) AS score,
+               COUNT(*) AS n_hits
+        FROM tf JOIN idf USING (term)
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_bm25_plan_filters_before_agg_no_python(docs):
+    df = bm25_topk(docs, ["crawl"], k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort

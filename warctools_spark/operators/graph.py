@@ -1,0 +1,124 @@
+"""Link-graph analytics: PageRank over the host graph.
+
+A crawl scheduler needs a global host-importance signal — which hosts
+deserve budget, which spam farms to starve. PageRank over the
+host-level link graph (host_graph: ~5 orders of magnitude smaller
+than the URL graph at Common-Crawl scale) is the classic answer
+(Page et al. 1999; also the original motivation for the crawl-order
+literature). No reference counterpart — warctools has no graph
+analytics; the algorithm is cited from the public paper only.
+
+Determinism contract (the same discipline as every operator here):
+each iteration's ranks are rounded to `round_iter` decimals, so the
+fixed-point trajectory is bit-identical across partitionings,
+engines, and run orders — double-precision sum-order noise is
+~1e-16 relative and dies at the 1e-12 rounding boundary
+(ORACLES.md #5). The DuckDB replay in the tests runs the identical
+iteration SQL and must hash-match exactly.
+
+Scale: per iteration, ONE shuffle — contributions aggregated by dst
+with map-side partial agg (a mega-host's in-links combine per task
+before the wire). The dangling-mass term is a 1-row DataFrame
+crossJoined (never a driver collect inside the loop), and each
+iteration is localCheckpoint'ed so lineage depth stays O(1) over
+arbitrarily many iterations (same pattern as bpe_train). Node and
+normalized-edge tables are computed once outside the loop. At 10^8
+hosts the rank table is two columns — megabytes per executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = None,
+    round_iter: int = 12,
+    round_final: int = 6,
+) -> DataFrame:
+    """Weighted PageRank with uniform dangling-mass redistribution:
+
+        PR_{t+1}(v) = (1-d)/N
+                    + d * ( sum_{u->v} PR_t(u) * w(u,v)/W_out(u)
+                          + dangling_t / N )
+
+    where dangling_t is the rank mass sitting on nodes with no
+    out-edges and N counts distinct nodes on either side of an edge.
+    Self-loops count as ordinary edges. PR_0 = 1/N.
+
+    Output: (node, pagerank) — one row per node, pagerank rounded to
+    `round_final` decimals; sums to ~1.0.
+
+    The iteration count is FIXED (not convergence-tested) so the
+    result is a pure function of (edges, n_iter, damping) and can be
+    replayed exactly in any engine.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("pagerank"))
+    # normalized out-share per (src, dst): w / W_out(src); computed
+    # ONCE — the loop only ever joins against this fixed table
+    wout = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    share = (
+        e.groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .join(wout, "src")
+        .select("src", "dst", (F.col("w") / F.col("wout")).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+    # nodes with no out-edges contribute their mass uniformly
+    sinks = nodes.join(
+        wout.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    ranks = nodes.select("node", F.lit(round(1.0 / n, round_iter)).alias("pr"))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            share.join(ranks, share.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("share")).alias("c"))
+        )
+        dangling = sinks.join(ranks, "node").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dang") / F.lit(float(n))
+                    ),
+                    round_iter,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round(F.col("pr"), round_final).alias("pagerank"))
