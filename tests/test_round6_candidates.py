@@ -236,3 +236,97 @@ def test_bm25_plan_filters_before_agg_no_python(docs):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+# ------------------------------------------------------- vocab coverage
+
+
+def test_vocab_coverage_counts_and_empty_docs(spark):
+    from warctools_spark.operators.text_analysis import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(0, "The cat SAT on the mat"), (1, ""), (2, "unseen words only")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("mat",), ("ON",)], "token string"
+    )
+    out = {r.doc_id: r for r in vocab_coverage(docs, vocab).collect()}
+    # "the cat sat on the mat" -> 6 tokens, 5 in vocab (sat is OOV)
+    assert out[0].n_tokens == 6 and out[0].n_in_vocab == 5
+    assert out[0].coverage == round(5 / 6, 4)
+    assert out[1].n_tokens == 0 and out[1].coverage == 1.0  # empty doc
+    assert out[2].n_in_vocab == 0 and out[2].coverage == 0.0
+
+
+def test_vocab_coverage_matches_duckdb_replay(spark, docs):
+    from warctools_spark.operators.text_analysis import (
+        token_frequencies,
+        vocab_coverage,
+    )
+
+    vocab = token_frequencies(docs).limit(200).select("token")
+    got = {tuple(r) for r in vocab_coverage(docs, vocab).collect()}
+
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    con.register("vocab", vocab.toPandas())
+    want = {
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM docs
+        ), per AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 SUM(CASE WHEN tok IN (SELECT lower(token) FROM vocab)
+                     THEN 1 ELSE 0 END) AS n_in_vocab
+          FROM toks WHERE tok <> '' GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.n_in_vocab, 0) AS n_in_vocab,
+               ROUND(CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 1.0
+                     ELSE p.n_in_vocab / CAST(p.n_tokens AS DOUBLE) END,
+                     4) AS coverage
+        FROM docs d LEFT JOIN per p USING (doc_id)
+        """
+        ).fetchall()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------- hll overlap
+
+
+def test_hll_overlap_estimates_intersection(spark):
+    from warctools_spark.operators.sketches import hll_overlap
+
+    a = spark.range(0, 8000).select(F.concat(F.lit("u-"), "id").alias("u"))
+    b = spark.range(5000, 12000).select(F.concat(F.lit("u-"), "id").alias("u"))
+    row = hll_overlap(a, b, "u").collect()[0]
+    # true: |A|=8000, |B|=7000, |A u B|=12000, |A n B|=3000.
+    # inclusion-exclusion compounds three estimates (6.5% sigma each);
+    # allow a generous but still-meaningful band on the intersection
+    assert abs(row.n_a - 8000) / 8000 < 0.26
+    assert abs(row.n_b - 7000) / 7000 < 0.26
+    assert abs(row.n_union - 12000) / 12000 < 0.26
+    assert 1000 < row.n_intersect < 5000
+
+
+def test_hll_overlap_disjoint_floors_at_zero_and_is_deterministic(spark):
+    from warctools_spark.operators.sketches import hll_overlap
+
+    a = spark.range(0, 3000).select(F.concat(F.lit("x-"), "id").alias("u"))
+    b = spark.range(0, 3000).select(F.concat(F.lit("y-"), "id").alias("u"))
+    r1 = hll_overlap(a, b, "u").collect()[0]
+    r2 = hll_overlap(a.repartition(5), b.coalesce(1), "u").collect()[0]
+    assert tuple(r1) == tuple(r2)  # pure function of the value sets
+    assert r1.n_intersect >= 0.0
+    # identical sets: intersection estimate == per-side estimate exactly
+    # (register tables are identical, union == either side)
+    ri = hll_overlap(a, a, "u").collect()[0]
+    assert ri.n_a == ri.n_b == ri.n_union
+    assert abs(ri.n_intersect - ri.n_a) < 1e-6

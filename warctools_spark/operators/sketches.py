@@ -356,3 +356,48 @@ def _hll_stats(reg: DataFrame, m: int) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("V")),
     ).otherwise(est_raw)
     return stats.select("Z", "V", est.alias("__est"))
+
+
+def hll_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    m: int = 256,
+    seed: str = "hll-v1",
+) -> DataFrame:
+    """Sketch-based corpus-overlap estimate via inclusion-exclusion:
+    |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B), with est(A ∪ B) computed
+    by MERGING the two register tables (HLL union is exact on the
+    register level — no rescan of either corpus). The data-governance
+    question this answers at 100 TB: "how much of the new crawl is
+    already in the old corpus?" in O(m) state per side.
+
+    Output: one row (n_a, n_b, n_union, n_intersect) — all estimates,
+    rounded to 4 decimals; n_intersect floors at 0 (inclusion-
+    exclusion on estimates can go slightly negative for disjoint
+    sets).
+
+    The three estimates share one parameter set by construction; the
+    per-side register build is the only corpus-sized work (one
+    map-side-combinable min() agg each)."""
+    ra = hll_registers(a, value_col, m, seed)
+    rb = hll_registers(b, value_col, m, seed)
+    ru = hll_merge(ra, rb)
+    ea = hll_estimate(ra, m).select(F.col("n_hll").alias("n_a"))
+    eb = hll_estimate(rb, m).select(F.col("n_hll").alias("n_b"))
+    eu = hll_estimate(ru, m).select(F.col("n_hll").alias("n_union"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            F.round(
+                F.greatest(
+                    F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0.0)
+                ),
+                4,
+            ).alias("n_intersect"),
+        )
+    )

@@ -1061,3 +1061,66 @@ def host_quality_rollup(
     return roll.join(ent, host_col).select(
         host_col, "n_docs", "mean_quality", "n_langs", "lang_entropy"
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document tokenizer-vocabulary coverage / OOV report: what
+    fraction of a doc's (lowercased, whitespace) tokens appear in the
+    given vocabulary table. The acceptance gate for a trained
+    tokenizer (bpe_train's frequency pass, token_frequencies top-k,
+    or any external vocab) against a new crawl epoch: coverage
+    dropping across epochs means the vocab no longer fits the corpus.
+
+    Output: (id, n_tokens, n_in_vocab, coverage), one row per input
+    doc; empty/whitespace docs keep a row with n_tokens=0 and
+    coverage=1.0 (an empty doc is fully covered by any vocab).
+    coverage rounds to 4 decimals.
+
+    Scale: tokens explode once; the vocab side is a distinct token
+    list (vocab-sized, broadcastable) left-joined to flag membership;
+    the per-doc agg is map-side combinable. A 10^5-entry vocab vs a
+    10^9-doc corpus is one broadcast-hash-join on the exploded stream
+    — no corpus-sized shuffle key, no skew (membership is a flag, hot
+    tokens collapse in the partial agg)."""
+    v = F.broadcast(
+        vocab.select(F.lower(F.col(token_col)).alias("__tok")).distinct()
+    )
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"),
+    ).where(F.col("__tok") != "")
+    per_doc = (
+        toks.join(v.withColumn("__in", F.lit(1)), "__tok", "left")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__in"), F.lit(0)))
+            .cast("long")
+            .alias("n_in_vocab"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("n_in_vocab"), F.lit(0).cast("long")).alias(
+                "n_in_vocab"
+            ),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_tokens"), F.lit(0)) == 0, F.lit(1.0)
+                ).otherwise(F.col("n_in_vocab") / F.col("n_tokens")),
+                4,
+            ).alias("coverage"),
+        )
+    )
