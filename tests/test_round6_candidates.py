@@ -330,3 +330,138 @@ def test_hll_overlap_disjoint_floors_at_zero_and_is_deterministic(spark):
     ri = hll_overlap(a, a, "u").collect()[0]
     assert ri.n_a == ri.n_b == ri.n_union
     assert abs(ri.n_intersect - ri.n_a) < 1e-6
+
+
+# ------------------------------------------------------------------ wat
+
+
+def _toy_wat_pages(spark):
+    import pandas as pd
+
+    html_ok = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html><head><title> A  Title </title></head><body>"
+        b'<a href="http://x.com/a">a</a><a href="/rel">r</a></body></html>'
+    )
+    plain = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        b'just text <a href="http://x.com/a">not a link</a>'
+    )
+    pdf = pd.DataFrame(
+        {
+            "url": ["http://t.example.com/p.html", "http://t.example.com/q.txt"],
+            "warc_ts": pd.to_datetime(
+                ["2013-11-13 00:00:00", "2013-11-13 00:00:01"]
+            ),
+            "html": [html_ok, plain],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_wat_toy_titles_links_and_envelope(spark):
+    import json
+
+    from warctools_spark.operators.wat import wat_records
+
+    rows = {r.url: r for r in wat_records(_toy_wat_pages(spark)).collect()}
+    ok = rows["http://t.example.com/p.html"]
+    assert ok.rec_type == "metadata"
+    assert ok.refers_to.startswith("<urn:uuid:")
+    assert ok.title == "A Title"  # whitespace collapsed
+    assert ok.n_links == 2
+    env = json.loads(ok.payload)["Envelope"]
+    hm = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    # absolutized, document order, path-tagged like CC WAT
+    assert [d["url"] for d in hm["Links"]] == [
+        "http://x.com/a",
+        "http://t.example.com/rel",
+    ]
+    assert all(d["path"] == "A@/href" for d in hm["Links"])
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == ok.url
+    # non-html page: no links, no title, no HTML-Metadata key
+    txt = rows["http://t.example.com/q.txt"]
+    assert (txt.n_links, txt.title, txt.links_digest) == (0, None, None)
+    assert "HTML-Metadata" not in json.loads(txt.payload)["Envelope"][
+        "Payload-Metadata"
+    ]["HTTP-Response-Metadata"]
+
+
+def test_wat_record_roundtrips_and_matches_harvest(spark):
+    import json
+
+    from warctools_spark.kernels.warc_parse import parse_archive
+    from warctools_spark.operators.frontier import harvest_links
+    from warctools_spark.operators.wat import wat_records
+    from warctools_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, SF_DIR).limit(12).cache()
+    got = wat_records(pages).collect()
+    assert len(got) == 12
+    want_links = {}
+    for r in harvest_links(pages).collect():
+        want_links.setdefault(r.src_url, []).append(r.link)
+    for r in got:
+        (rec,) = parse_archive(bytes(r.record_bytes), fmt="warc")
+        assert rec.record_type == b"metadata"
+        assert rec.content_length == r.content_length
+        env = json.loads(rec.content.decode("utf-8"))["Envelope"]
+        links = [
+            d["url"]
+            for d in env["Payload-Metadata"]["HTTP-Response-Metadata"][
+                "HTML-Metadata"
+            ]["Links"]
+        ]
+        assert links == want_links[r.url]
+        # refers-to points at the response record's deterministic uuid
+        assert r.refers_to == "<urn:uuid:%s>" % __import__("hashlib").md5(
+            r.url.encode()
+        ).hexdigest()
+    pages.unpersist()
+
+
+_WAT_URL = (
+    "'http://' || CASE WHEN {id} % 10 < 3 THEN 'hot.example.com' "
+    "ELSE 'src' || CAST({id} % 20 AS VARCHAR) || '.example.com' END "
+    "|| '/doc/' || CAST({id} AS VARCHAR) || '.html'"
+)
+
+
+def test_wat_metadata_matches_duckdb_replay(spark, docs):
+    from warctools_spark.operators.wat import wat_metadata
+    from warctools_spark.sources.pages import synthesize_pages
+
+    got = {
+        tuple(r)
+        for r in wat_metadata(synthesize_pages(spark, SF_DIR)).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    target = "((d.doc_id * 31 + i * 97 + 7) % nn.n)"
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH nn AS (SELECT count(*) AS n FROM docs),
+            links AS (
+              SELECT d.doc_id, i,
+                     {_WAT_URL.format(id=target)} AS link
+              FROM docs d CROSS JOIN nn CROSS JOIN range(0, 8) t(i)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS INT) AS n_links,
+                     md5(string_agg(link, chr(10) ORDER BY i))
+                         AS links_digest
+              FROM links GROUP BY doc_id
+            )
+            SELECT {_WAT_URL.format(id="d.doc_id")} AS url,
+                   200 AS http_status,
+                   'text/html' AS mime,
+                   'Doc ' || CAST(d.doc_id AS VARCHAR) AS title,
+                   n_links, links_digest
+            FROM docs d JOIN agg USING (doc_id)
+            """
+        ).fetchall()
+    }
+    assert got == want

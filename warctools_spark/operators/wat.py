@@ -1,0 +1,207 @@
+"""WAT metadata sidecar records — the third Common-Crawl artifact
+family (WARC = raw, WET = extracted text, WAT = per-record metadata
+JSON). The reference has no WAT tool; the record model follows its
+WARC writer semantics (warc.py:76-127) and the envelope layout
+follows the public IIPC WAT specification / Common Crawl's published
+WAT structure: a WARC `metadata` record per response whose payload is
+a JSON "Envelope" carrying the WARC headers, HTTP response metadata,
+and HTML head/link metadata.
+
+Determinism contract: the JSON payload is `json.dumps(...,
+sort_keys=True, separators=(",", ":"))` — a pure function of the
+page row, bit-identical across partitionings and runs, so the
+serialized record (and its digest/length) is oracle-checkable.
+
+Scale: one Arrow pass per partition (mapInPandas) — decode, link
+extraction, title scan, JSON build, WARC serialization, and reparse
+verification all happen scan-side with no shuffle at any corpus
+size; the operator inherits the input's partitioning. The flat
+metadata projection (`url, http_status, mime, title, n_links,
+links_digest`) is the SQL-replayable surface; `payload` /
+`record_bytes` carry the full sidecar for sinks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+
+from pyspark.sql import DataFrame
+
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.I | re.S)
+
+WAT_SCHEMA = (
+    "url string, rec_type string, refers_to string, http_status int, "
+    "mime string, title string, n_links int, links_digest string, "
+    "content_length bigint, payload string, record_bytes binary"
+)
+
+
+def _title_of(body: bytes) -> str | None:
+    m = _TITLE_RE.search(body)
+    if not m:
+        return None
+    t = re.sub(rb"\s+", b" ", m.group(1)).strip()
+    return t.decode("utf-8", "replace") if t else None
+
+
+def wat_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+    gzip_output: bool = False,
+) -> DataFrame:
+    """pages -> one WAT metadata record per non-null-payload page.
+
+    Per row: decode the HTTP response (http_decode kernel), extract
+    outlinks with the same gate as `harvest_links` (2xx + html mime;
+    warclinks.py:54-66), scan the decoded body for <title>, build the
+    sorted-key JSON envelope, serialize it as a WARC metadata record
+    (WARC-Refers-To pointing at the response's urn:uuid, the same
+    md5-of-url convention as `wet_conversion`), then reparse the
+    serialized bytes with the parse kernel so the emitted
+    `content_length`/`rec_type` are read back from the wire format,
+    not assumed.
+
+    `links_digest` = md5 of the extracted links joined by '\\n' in
+    document order (null when no links) — a fixed-width per-page
+    summary of the link list that a SQL oracle can recompute with
+    `md5(string_agg(link, chr(10) ORDER BY i))`.
+    """
+    import pandas as pd
+
+    from warctools_spark.kernels.http_decode import decode_http
+    from warctools_spark.kernels.links import extract_links
+    from warctools_spark.kernels.warc_parse import parse_archive
+    from warctools_spark.kernels.warc_write import write_warc_record
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for url, ts, html in zip(pdf[url_col], pdf[ts_col], pdf[html_col]):
+                if html is None:
+                    continue
+                res = decode_http(bytes(html), kind="response")
+                body = res.decoded_body()
+                mime = (res.mime or b"").decode("latin-1") or None
+                is_html = (
+                    200 <= res.code < 300
+                    and mime is not None
+                    and mime.find("html") > -1
+                )
+                links = extract_links(url or "", body) if is_html else []
+                title = _title_of(body) if is_html else None
+
+                headers = {}
+                for k, v in res.headers:
+                    headers.setdefault(
+                        k.decode("latin-1"), v.decode("latin-1")
+                    )
+                env: dict = {
+                    "Envelope": {
+                        "Format": "WARC",
+                        "WARC-Header-Metadata": {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": url,
+                            "WARC-Date": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        },
+                        "Payload-Metadata": {
+                            "Actual-Content-Length": len(body),
+                            "HTTP-Response-Metadata": {
+                                "Response-Message": {
+                                    "Status": res.code,
+                                    "Version": res.version.decode("latin-1"),
+                                    "Reason": res.phrase.decode("latin-1"),
+                                },
+                                "Headers": headers,
+                            },
+                        },
+                    }
+                }
+                if is_html:
+                    html_meta: dict = {
+                        "Links": [
+                            {"path": "A@/href", "url": link} for link in links
+                        ]
+                    }
+                    if title is not None:
+                        html_meta["Head"] = {"Title": title}
+                    env["Envelope"]["Payload-Metadata"][
+                        "HTTP-Response-Metadata"
+                    ]["HTML-Metadata"] = html_meta
+
+                payload = json.dumps(
+                    env, sort_keys=True, separators=(",", ":")
+                )
+                uhash = hashlib.md5(url.encode("utf-8")).hexdigest()
+                date = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode("latin-1")
+                rec = write_warc_record(
+                    [
+                        (b"WARC-Type", b"metadata"),
+                        (
+                            b"WARC-Record-ID",
+                            b"<urn:uuid:wat-" + uhash.encode() + b">",
+                        ),
+                        (
+                            b"WARC-Refers-To",
+                            b"<urn:uuid:" + uhash.encode() + b">",
+                        ),
+                        (b"WARC-Date", date),
+                        (b"WARC-Target-URI", url.encode("latin-1")),
+                    ],
+                    b"application/json",
+                    payload.encode("utf-8"),
+                    gzip_record=gzip_output,
+                )
+                (row,) = parse_archive(rec, fmt="warc", gzip_mode="auto")
+                digest = (
+                    hashlib.md5("\n".join(links).encode("utf-8")).hexdigest()
+                    if links
+                    else None
+                )
+                out.append(
+                    {
+                        "url": (row.url or b"").decode("latin-1"),
+                        "rec_type": (row.record_type or b"").decode("latin-1"),
+                        "refers_to": (
+                            row.get_header(b"WARC-Refers-To") or b""
+                        ).decode("latin-1"),
+                        "http_status": res.code,
+                        "mime": mime,
+                        "title": title,
+                        "n_links": len(links),
+                        "links_digest": digest,
+                        "content_length": row.content_length,
+                        "payload": payload,
+                        "record_bytes": rec,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url",
+                    "rec_type",
+                    "refers_to",
+                    "http_status",
+                    "mime",
+                    "title",
+                    "n_links",
+                    "links_digest",
+                    "content_length",
+                    "payload",
+                    "record_bytes",
+                ],
+            )
+
+    return pages.mapInPandas(run, WAT_SCHEMA)
+
+
+def wat_metadata(pages: DataFrame, **kw) -> DataFrame:
+    """The SQL-replayable flat projection of `wat_records` — the
+    round-6 registration surface (url, http_status, mime, title,
+    n_links, links_digest)."""
+    return wat_records(pages, **kw).select(
+        "url", "http_status", "mime", "title", "n_links", "links_digest"
+    )
