@@ -339,8 +339,10 @@ def _toy_wat_pages(spark):
     import pandas as pd
 
     html_ok = (
-        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-        b"<html><head><title> A  Title </title></head><body>"
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Set-Cookie: a=1\r\nSet-Cookie: b=2\r\n\r\n"
+        b"<html><head><titlebar>nav</titlebar><title> A  Title </title>"
+        b"</head><body>"
         b'<a href="http://x.com/a">a</a><a href="/rel">r</a></body></html>'
     )
     plain = (
@@ -349,11 +351,17 @@ def _toy_wat_pages(spark):
     )
     pdf = pd.DataFrame(
         {
-            "url": ["http://t.example.com/p.html", "http://t.example.com/q.txt"],
+            "url": [
+                "http://t.example.com/p.html",
+                "http://t.example.com/q.txt",
+                None,  # null url: no sidecar
+                "http://t.example.com/no-date.html",  # NaT ts: no sidecar
+            ],
             "warc_ts": pd.to_datetime(
-                ["2013-11-13 00:00:00", "2013-11-13 00:00:01"]
+                ["2013-11-13 00:00:00", "2013-11-13 00:00:01",
+                 "2013-11-13 00:00:02", None]
             ),
-            "html": [html_ok, plain],
+            "html": [html_ok, plain, html_ok, html_ok],
         }
     )
     return spark.createDataFrame(pdf)
@@ -364,20 +372,25 @@ def test_wat_toy_titles_links_and_envelope(spark):
 
     from warctools_spark.operators.wat import wat_records
 
-    rows = {r.url: r for r in wat_records(_toy_wat_pages(spark)).collect()}
+    got = wat_records(_toy_wat_pages(spark)).collect()
+    # null-url and null-ts rows produce no sidecar, and don't crash
+    assert len(got) == 2
+    rows = {r.url: r for r in got}
     ok = rows["http://t.example.com/p.html"]
     assert ok.rec_type == "metadata"
     assert ok.refers_to.startswith("<urn:uuid:")
-    assert ok.title == "A Title"  # whitespace collapsed
+    assert ok.title == "A Title"  # whitespace collapsed, <titlebar> skipped
     assert ok.n_links == 2
     env = json.loads(ok.payload)["Envelope"]
     hm = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
-    # absolutized, document order, path-tagged like CC WAT
-    assert [d["url"] for d in hm["Links"]] == [
-        "http://x.com/a",
-        "http://t.example.com/rel",
+    # absolutized, document order; url-only (no fabricated path field)
+    assert hm["Links"] == [
+        {"url": "http://x.com/a"},
+        {"url": "http://t.example.com/rel"},
     ]
-    assert all(d["path"] == "A@/href" for d in hm["Links"])
+    # repeated headers comma-join deterministically
+    headers = env["Payload-Metadata"]["HTTP-Response-Metadata"]["Headers"]
+    assert headers["Set-Cookie"] == "a=1,b=2"
     assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == ok.url
     # non-html page: no links, no title, no HTML-Metadata key
     txt = rows["http://t.example.com/q.txt"]

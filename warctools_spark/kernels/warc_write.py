@@ -94,3 +94,40 @@ def warc_datetime_str(d: datetime) -> bytes:
     if "." in s:
         s = s[: s.find(".")]
     return (s + "Z").encode("utf-8")
+
+
+def write_sidecar_record(
+    url: str,
+    ts,
+    warc_type: bytes,
+    id_prefix: bytes,
+    content_type: bytes,
+    payload: bytes,
+    gzip_record: bool = False,
+) -> bytes:
+    """The sidecar-record convention shared by the WET and WAT
+    families (operators/archive_ops.py::wet_conversion,
+    operators/wat.py::wat_records): a derived record whose
+    WARC-Record-ID is `urn:uuid:<prefix><md5(url)>` and whose
+    WARC-Refers-To is `urn:uuid:<md5(url)>` — the deterministic uuid
+    of the response record it was derived from. Keeping the
+    convention in ONE place means the two sidecar families cannot
+    silently desynchronize.
+
+    Target-URI is UTF-8-encoded (ASCII-identical for ASCII urls;
+    IRIs serialize instead of raising like latin-1 would).
+    """
+    uhash = hashlib.md5(url.encode("utf-8")).hexdigest().encode()
+    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode("latin-1")
+    return write_warc_record(
+        [
+            (b"WARC-Type", warc_type),
+            (b"WARC-Record-ID", b"<urn:uuid:" + id_prefix + uhash + b">"),
+            (b"WARC-Refers-To", b"<urn:uuid:" + uhash + b">"),
+            (b"WARC-Date", date),
+            (b"WARC-Target-URI", url.encode("utf-8")),
+        ],
+        content_type,
+        payload,
+        gzip_record=gzip_record,
+    )

@@ -212,7 +212,7 @@ def wet_conversion(pages: DataFrame, gzip_output: bool = False) -> DataFrame:
 
     from warctools_spark.kernels.http_decode import decode_http
     from warctools_spark.kernels.warc_parse import parse_archive
-    from warctools_spark.kernels.warc_write import write_warc_record
+    from warctools_spark.kernels.warc_write import write_sidecar_record
 
     def run(batches):
         for pdf in batches:
@@ -221,22 +221,11 @@ def wet_conversion(pages: DataFrame, gzip_output: bool = False) -> DataFrame:
                 pdf["url"], pdf["warc_ts"], pdf["html"]
             ):
                 text = decode_http(bytes(html), kind="response").decoded_body()
-                uhash = hashlib.md5(url.encode("utf-8")).hexdigest()
-                date = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode("latin-1")
-                rec = write_warc_record(
-                    [
-                        (b"WARC-Type", b"conversion"),
-                        (
-                            b"WARC-Record-ID",
-                            b"<urn:uuid:wet-" + uhash.encode() + b">",
-                        ),
-                        (
-                            b"WARC-Refers-To",
-                            b"<urn:uuid:" + uhash.encode() + b">",
-                        ),
-                        (b"WARC-Date", date),
-                        (b"WARC-Target-URI", url.encode("latin-1")),
-                    ],
+                rec = write_sidecar_record(
+                    url,
+                    ts,
+                    b"conversion",
+                    b"wet-",
                     b"text/plain",
                     text,
                     gzip_record=gzip_output,

@@ -12,13 +12,14 @@ sort_keys=True, separators=(",", ":"))` — a pure function of the
 page row, bit-identical across partitionings and runs, so the
 serialized record (and its digest/length) is oracle-checkable.
 
-Scale: one Arrow pass per partition (mapInPandas) — decode, link
-extraction, title scan, JSON build, WARC serialization, and reparse
-verification all happen scan-side with no shuffle at any corpus
-size; the operator inherits the input's partitioning. The flat
-metadata projection (`url, http_status, mime, title, n_links,
-links_digest`) is the SQL-replayable surface; `payload` /
-`record_bytes` carry the full sidecar for sinks.
+Scale: one Arrow pass per partition (mapInPandas) over a pruned
+(url, ts, html) projection — decode, link extraction, title scan,
+JSON build, WARC serialization, and reparse verification all happen
+scan-side with no shuffle at any corpus size; the operator inherits
+the input's partitioning. The flat metadata projection (`url,
+http_status, mime, title, n_links, links_digest`) is the
+SQL-replayable surface; `payload` / `record_bytes` carry the full
+sidecar for sinks.
 """
 
 from __future__ import annotations
@@ -29,7 +30,10 @@ import re
 
 from pyspark.sql import DataFrame
 
-_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.I | re.S)
+# \s|> boundary so <titlebar>-style tags don't match; SVG/commented
+# <title> occurrences can still win (documented limit — the kernel is
+# a regex scan, not a DOM).
+_TITLE_RE = re.compile(rb"<title(?:\s[^>]*)?>(.*?)</title>", re.I | re.S)
 
 WAT_SCHEMA = (
     "url string, rec_type string, refers_to string, http_status int, "
@@ -53,17 +57,28 @@ def wat_records(
     html_col: str = "html",
     gzip_output: bool = False,
 ) -> DataFrame:
-    """pages -> one WAT metadata record per non-null-payload page.
+    """pages -> one WAT metadata record per well-formed page row.
+
+    Rows with a null url, null/unparseable timestamp, or null payload
+    produce no sidecar record (a sidecar derives FROM a fetched
+    response; rows that never identified or dated one have nothing to
+    describe — same skip-don't-crash posture as the harvest gate).
 
     Per row: decode the HTTP response (http_decode kernel), extract
     outlinks with the same gate as `harvest_links` (2xx + html mime;
     warclinks.py:54-66), scan the decoded body for <title>, build the
     sorted-key JSON envelope, serialize it as a WARC metadata record
-    (WARC-Refers-To pointing at the response's urn:uuid, the same
-    md5-of-url convention as `wet_conversion`), then reparse the
-    serialized bytes with the parse kernel so the emitted
-    `content_length`/`rec_type` are read back from the wire format,
-    not assumed.
+    (write_sidecar_record — the same md5-of-url uuid convention as
+    `wet_conversion`), then reparse the serialized bytes with the
+    parse kernel so the emitted `content_length`/`rec_type` are read
+    back from the wire format, not assumed.
+
+    Envelope fidelity notes: Link objects are url-only — the harvest
+    kernel returns flat links for every link-bearing tag/attr
+    (mirroring reference warclinks), so per-link `path` provenance
+    (CC's `A@/href`) is not known and is not fabricated. Repeated
+    HTTP headers (Set-Cookie et al.) are comma-joined into one
+    Headers entry, deterministically.
 
     `links_digest` = md5 of the extracted links joined by '\\n' in
     document order (null when no links) — a fixed-width per-page
@@ -75,13 +90,13 @@ def wat_records(
     from warctools_spark.kernels.http_decode import decode_http
     from warctools_spark.kernels.links import extract_links
     from warctools_spark.kernels.warc_parse import parse_archive
-    from warctools_spark.kernels.warc_write import write_warc_record
+    from warctools_spark.kernels.warc_write import write_sidecar_record
 
     def run(batches):
         for pdf in batches:
             out = []
             for url, ts, html in zip(pdf[url_col], pdf[ts_col], pdf[html_col]):
-                if html is None:
+                if url is None or html is None or pd.isna(ts):
                     continue
                 res = decode_http(bytes(html), kind="response")
                 body = res.decoded_body()
@@ -91,14 +106,14 @@ def wat_records(
                     and mime is not None
                     and mime.find("html") > -1
                 )
-                links = extract_links(url or "", body) if is_html else []
+                links = extract_links(url, body) if is_html else []
                 title = _title_of(body) if is_html else None
 
-                headers = {}
+                headers: dict[str, str] = {}
                 for k, v in res.headers:
-                    headers.setdefault(
-                        k.decode("latin-1"), v.decode("latin-1")
-                    )
+                    ks = k.decode("latin-1")
+                    vs = v.decode("latin-1")
+                    headers[ks] = headers[ks] + "," + vs if ks in headers else vs
                 env: dict = {
                     "Envelope": {
                         "Format": "WARC",
@@ -122,9 +137,7 @@ def wat_records(
                 }
                 if is_html:
                     html_meta: dict = {
-                        "Links": [
-                            {"path": "A@/href", "url": link} for link in links
-                        ]
+                        "Links": [{"url": link} for link in links]
                     }
                     if title is not None:
                         html_meta["Head"] = {"Title": title}
@@ -135,22 +148,11 @@ def wat_records(
                 payload = json.dumps(
                     env, sort_keys=True, separators=(",", ":")
                 )
-                uhash = hashlib.md5(url.encode("utf-8")).hexdigest()
-                date = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode("latin-1")
-                rec = write_warc_record(
-                    [
-                        (b"WARC-Type", b"metadata"),
-                        (
-                            b"WARC-Record-ID",
-                            b"<urn:uuid:wat-" + uhash.encode() + b">",
-                        ),
-                        (
-                            b"WARC-Refers-To",
-                            b"<urn:uuid:" + uhash.encode() + b">",
-                        ),
-                        (b"WARC-Date", date),
-                        (b"WARC-Target-URI", url.encode("latin-1")),
-                    ],
+                rec = write_sidecar_record(
+                    url,
+                    ts,
+                    b"metadata",
+                    b"wat-",
                     b"application/json",
                     payload.encode("utf-8"),
                     gzip_record=gzip_output,
@@ -195,7 +197,7 @@ def wat_records(
                 ],
             )
 
-    return pages.mapInPandas(run, WAT_SCHEMA)
+    return pages.select(url_col, ts_col, html_col).mapInPandas(run, WAT_SCHEMA)
 
 
 def wat_metadata(pages: DataFrame, **kw) -> DataFrame:
