@@ -478,3 +478,166 @@ def test_wat_metadata_matches_duckdb_replay(spark, docs):
         ).fetchall()
     }
     assert got == want
+
+
+# -------------------------------------------------------------- sitemap
+
+
+_TOY_URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc> http://h.example.com/a?x=1&amp;y=2 </loc>
+    <lastmod>2013-11-13</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>http://h.example.com/b</loc></url>
+  <url><lastmod>2013-11-14</lastmod></url>
+  <url><loc>http://h.example.com/c</loc><priority>high</priority></url>
+</urlset>"""
+
+_TOY_INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://h.example.com/sitemap1.xml</loc>
+    <lastmod>2013-11-12</lastmod></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemaps_toy_semantics(spark):
+    from warctools_spark.operators.sitemap import parse_sitemaps
+
+    df = spark.createDataFrame(
+        [
+            ("http://h.example.com/sitemap.xml", _TOY_URLSET),
+            ("http://h.example.com/sitemap_index.xml", _TOY_INDEX),
+            ("http://h.example.com/not-a-sitemap.xml", "<html>nope</html>"),
+        ],
+        "url string, xml string",
+    )
+    got = parse_sitemaps(df).collect()
+    # loc-less url entry and the non-sitemap doc contribute no rows
+    assert len(got) == 4
+    by_loc = {r.loc: r for r in got}
+    # malformed priority -> null (try_cast), not an ANSI job kill
+    assert by_loc["http://h.example.com/c"].priority is None
+    a = by_loc["http://h.example.com/a?x=1&y=2"]  # trimmed + unescaped
+    assert (a.kind, a.lastmod, a.changefreq, a.priority) == (
+        "urlset", "2013-11-13", "daily", 0.8,
+    )
+    b = by_loc["http://h.example.com/b"]
+    assert (b.lastmod, b.changefreq, b.priority) == (None, None, None)
+    idx = by_loc["http://h.example.com/sitemap1.xml"]
+    assert (idx.kind, idx.lastmod) == ("sitemapindex", "2013-11-12")
+
+
+def test_parse_sitemaps_plan_is_jvm_only(spark):
+    from warctools_spark.operators.sitemap import parse_sitemaps
+
+    df = spark.createDataFrame(
+        [("u", _TOY_URLSET)], "url string, xml string"
+    )
+    plan = parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _synth_sitemaps(docs_pdf):
+    # one urlset per host listing its docs (lastmod/priority derived
+    # from doc_id; every 7th entry omits optional fields; doc_id%97==0
+    # entries omit loc entirely) + one sitemapindex over the hosts
+    import collections
+
+    hosts = collections.defaultdict(list)
+    for doc_id in sorted(int(i) for i in docs_pdf["doc_id"]):
+        host = (
+            "hot.example.com"
+            if doc_id % 10 < 3
+            else "src%d.example.com" % (doc_id % 20)
+        )
+        hosts[host].append(doc_id)
+    rows = []
+    for host, ids in sorted(hosts.items()):
+        entries = []
+        for d in ids:
+            loc = (
+                ""
+                if d % 97 == 0
+                else "<loc>http://%s/doc/%d.html?a=1&amp;b=2</loc>" % (host, d)
+            )
+            extra = (
+                ""
+                if d % 7 == 0
+                else "<lastmod>2013-11-%02d</lastmod><priority>0.%d</priority>"
+                % (1 + d % 28, d % 10)
+            )
+            entries.append("<url>%s%s</url>" % (loc, extra))
+        rows.append(
+            (
+                "http://%s/sitemap.xml" % host,
+                '<urlset xmlns="x">\n%s\n</urlset>' % "\n".join(entries),
+            )
+        )
+    index = "".join(
+        "<sitemap><loc>http://%s/sitemap.xml</loc></sitemap>" % h
+        for h in sorted(hosts)
+    )
+    rows.append(
+        ("http://master.example.com/index.xml",
+         "<sitemapindex>%s</sitemapindex>" % index)
+    )
+    return rows
+
+
+def test_parse_sitemaps_matches_duckdb_replay(spark, docs):
+    from warctools_spark.operators.sitemap import parse_sitemaps
+
+    rows = _synth_sitemaps(docs.toPandas())
+    got = {
+        tuple(r)
+        for r in parse_sitemaps(
+            spark.createDataFrame(rows, "url string, xml string")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TEMP TABLE smaps (url VARCHAR, xml VARCHAR)"
+    )
+    con.executemany("INSERT INTO smaps VALUES (?, ?)", rows)
+    unesc = (
+        "replace(replace(replace(replace(replace({c}, '&lt;', '<'), "
+        "'&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), '&amp;', '&')"
+    )
+    branch = """
+        SELECT url AS sitemap_url, '{kind}' AS kind,
+               unnest(regexp_extract_all(xml, '(?s)<{tag}>(.*?)</{tag}>', 1))
+                   AS entry
+        FROM smaps
+        WHERE contains(xml, '<sitemapindex') {neg} contains(xml, '<urlset')
+    """
+    field = (
+        "nullif(regexp_extract(entry,"
+        " '(?s)<{t}>\\s*(.*?)\\s*</{t}>', 1), '')"
+    )
+    loc_expr = unesc.format(c=field.format(t="loc"))
+    idx_branch = branch.format(kind="sitemapindex", tag="sitemap",
+                               neg="AND NOT")
+    url_branch = branch.format(kind="urlset", tag="url", neg="= FALSE AND")
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH b AS (
+              {idx_branch}
+              UNION ALL
+              {url_branch}
+            )
+            SELECT sitemap_url, kind,
+                   {loc_expr} AS loc,
+                   {field.format(t="lastmod")} AS lastmod,
+                   {field.format(t="changefreq")} AS changefreq,
+                   TRY_CAST({field.format(t="priority")} AS DOUBLE)
+                       AS priority
+            FROM b
+            WHERE loc IS NOT NULL
+            """
+        ).fetchall()
+    }
+    assert len(got) > 400 and got == want

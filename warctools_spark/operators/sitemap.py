@@ -1,0 +1,108 @@
+"""Sitemap XML parsing — the crawler's standard seed-discovery
+channel (sitemaps.org protocol, referenced by RFC 9309's `Sitemap:`
+directive, which kernels/robots.py already surfaces as pointers).
+This operator parses the pointed-at documents: `<urlset>` files into
+per-URL entries and `<sitemapindex>` files into child-sitemap
+entries, with the optional lastmod/changefreq/priority fields the
+recrawl scheduler (frontier.recrawl_priority) consumes.
+
+No reference counterpart — warctools has no sitemap tooling; the
+element names and semantics come from the public sitemaps.org
+protocol spec only.
+
+Spark-first shape: pure Catalyst expressions end-to-end —
+regexp_extract_all over the payload, explode, per-entry
+regexp_extract, entity unescape via a replace chain. No Python UDF,
+no shuffle; the whole operator is one WholeStageCodegen span over
+the scan, so it runs at JVM scan speed on 100 TB of fetched
+sitemaps. (Compare wat.py, which needs Python kernels; this one
+deliberately does not.)
+
+Scope notes: recursion through a sitemapindex is a fetch-loop
+concern (feed the emitted `loc` rows back through the fetch join),
+not a parse concern. Gzip'd sitemap payloads (`.xml.gz`) are
+inflated by the HTTP decode layer (kernels/http_decode.py handles
+Content-Encoding) before they reach this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (?s) so entries spanning lines match; non-greedy keeps one block
+# per entry. Entries missing a <loc> are dropped (the spec requires
+# loc); all other fields are optional and null when absent.
+_URL_BLOCK = r"(?s)<url>(.*?)</url>"
+_SMAP_BLOCK = r"(?s)<sitemap>(.*?)</sitemap>"
+
+
+def _field(block: Column, tag: str) -> Column:
+    got = F.regexp_extract(block, r"(?s)<%s>\s*(.*?)\s*</%s>" % (tag, tag), 1)
+    return F.nullif(got, F.lit(""))
+
+
+def _unescape_xml(c: Column) -> Column:
+    """The five predefined XML entities, &amp; last so freshly
+    produced '&' can't re-trigger another entity (spec-correct for
+    well-formed input that escapes every literal '&')."""
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame, url_col: str = "url", xml_col: str = "xml"
+) -> DataFrame:
+    """(url, xml) -> one row per sitemap entry:
+
+      sitemap_url  the document the entry came from
+      kind         'urlset' | 'sitemapindex'
+      loc          entity-unescaped, whitespace-trimmed target URL
+      lastmod      string as written (W3C datetime), null if absent
+      changefreq   string, null if absent (urlset only per spec)
+      priority     double, null if absent/non-numeric (urlset only)
+
+    Documents that are neither kind (or whose entries all lack a
+    <loc>) contribute no rows.
+    """
+    xml = F.col(xml_col)
+    kind = (
+        F.when(xml.contains("<sitemapindex"), F.lit("sitemapindex"))
+        .when(xml.contains("<urlset"), F.lit("urlset"))
+        .otherwise(F.lit(None))
+    )
+    blocks = F.when(
+        F.col("kind") == "sitemapindex",
+        F.regexp_extract_all(xml, F.lit(_SMAP_BLOCK), F.lit(1)),
+    ).otherwise(F.regexp_extract_all(xml, F.lit(_URL_BLOCK), F.lit(1)))
+
+    entry = F.col("entry")
+    return (
+        sitemaps.select(
+            F.col(url_col).alias("sitemap_url"), xml, kind.alias("kind")
+        )
+        .where(F.col("kind").isNotNull())
+        .select(
+            "sitemap_url",
+            "kind",
+            F.explode(blocks).alias("entry"),
+        )
+        .select(
+            "sitemap_url",
+            "kind",
+            _unescape_xml(_field(entry, "loc")).alias("loc"),
+            _field(entry, "lastmod").alias("lastmod"),
+            _field(entry, "changefreq").alias("changefreq"),
+            # try_cast: a malformed <priority> yields null instead of
+            # killing the job under ANSI mode
+            _field(entry, "priority").try_cast("double").alias("priority"),
+        )
+        .where(F.col("loc").isNotNull())
+    )
