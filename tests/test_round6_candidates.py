@@ -388,9 +388,10 @@ def test_wat_toy_titles_links_and_envelope(spark):
         {"url": "http://x.com/a"},
         {"url": "http://t.example.com/rel"},
     ]
-    # repeated headers comma-join deterministically
+    # repeated headers become a JSON array (lossless — cookie Expires
+    # dates contain commas)
     headers = env["Payload-Metadata"]["HTTP-Response-Metadata"]["Headers"]
-    assert headers["Set-Cookie"] == "a=1,b=2"
+    assert headers["Set-Cookie"] == ["a=1", "b=2"]
     assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == ok.url
     # non-html page: no links, no title, no HTML-Metadata key
     txt = rows["http://t.example.com/q.txt"]
@@ -498,8 +499,15 @@ _TOY_URLSET = """<?xml version="1.0" encoding="UTF-8"?>
 
 _TOY_INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
   <sitemap><loc>http://h.example.com/sitemap1.xml</loc>
-    <lastmod>2013-11-12</lastmod></sitemap>
+    <lastmod>2013-11-12</lastmod>
+    <priority>0.9</priority></sitemap>
 </sitemapindex>"""
+
+# a urlset that merely MENTIONS the other root tag in a comment must
+# still parse as a urlset (kind = earliest root tag, not contains)
+_TOY_TRICKY = """<urlset><!-- migrated from <sitemapindex> -->
+  <url><loc>http://h.example.com/t</loc></url>
+</urlset>"""
 
 
 def test_parse_sitemaps_toy_semantics(spark):
@@ -509,16 +517,19 @@ def test_parse_sitemaps_toy_semantics(spark):
         [
             ("http://h.example.com/sitemap.xml", _TOY_URLSET),
             ("http://h.example.com/sitemap_index.xml", _TOY_INDEX),
+            ("http://h.example.com/tricky.xml", _TOY_TRICKY),
             ("http://h.example.com/not-a-sitemap.xml", "<html>nope</html>"),
         ],
         "url string, xml string",
     )
     got = parse_sitemaps(df).collect()
     # loc-less url entry and the non-sitemap doc contribute no rows
-    assert len(got) == 4
+    assert len(got) == 5
     by_loc = {r.loc: r for r in got}
     # malformed priority -> null (try_cast), not an ANSI job kill
     assert by_loc["http://h.example.com/c"].priority is None
+    # kind by earliest root tag, not substring presence
+    assert by_loc["http://h.example.com/t"].kind == "urlset"
     a = by_loc["http://h.example.com/a?x=1&y=2"]  # trimmed + unescaped
     assert (a.kind, a.lastmod, a.changefreq, a.priority) == (
         "urlset", "2013-11-13", "daily", 0.8,
@@ -527,6 +538,9 @@ def test_parse_sitemaps_toy_semantics(spark):
     assert (b.lastmod, b.changefreq, b.priority) == (None, None, None)
     idx = by_loc["http://h.example.com/sitemap1.xml"]
     assert (idx.kind, idx.lastmod) == ("sitemapindex", "2013-11-12")
+    # changefreq/priority are urlset-only: a stray <priority> inside
+    # a <sitemap> block does not leak through
+    assert idx.priority is None
 
 
 def test_parse_sitemaps_plan_is_jvm_only(spark):
@@ -576,12 +590,22 @@ def _synth_sitemaps(docs_pdf):
             )
         )
     index = "".join(
-        "<sitemap><loc>http://%s/sitemap.xml</loc></sitemap>" % h
+        # the stray <priority> inside <sitemap> blocks must NOT leak
+        # into the urlset-only priority column
+        "<sitemap><loc>http://%s/sitemap.xml</loc>"
+        "<priority>0.9</priority></sitemap>" % h
         for h in sorted(hosts)
     )
     rows.append(
         ("http://master.example.com/index.xml",
          "<sitemapindex>%s</sitemapindex>" % index)
+    )
+    # a urlset that mentions the other root tag in a comment — kind
+    # must still resolve to urlset (earliest root tag wins)
+    rows.append(
+        ("http://tricky.example.com/sitemap.xml",
+         "<urlset><!-- was <sitemapindex> once -->"
+         "<url><loc>http://tricky.example.com/a</loc></url></urlset>")
     )
     return rows
 
@@ -605,26 +629,37 @@ def test_parse_sitemaps_matches_duckdb_replay(spark, docs):
         "replace(replace(replace(replace(replace({c}, '&lt;', '<'), "
         "'&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), '&amp;', '&')"
     )
+    # kind = earliest root tag, mirroring the operator — no document
+    # is excluded, so both-marker payloads ARE differentially checked
     branch = """
-        SELECT url AS sitemap_url, '{kind}' AS kind,
+        SELECT url AS sitemap_url, kind,
                unnest(regexp_extract_all(xml, '(?s)<{tag}>(.*?)</{tag}>', 1))
                    AS entry
-        FROM smaps
-        WHERE contains(xml, '<sitemapindex') {neg} contains(xml, '<urlset')
+        FROM k WHERE kind = '{kind}'
     """
     field = (
         "nullif(regexp_extract(entry,"
         " '(?s)<{t}>\\s*(.*?)\\s*</{t}>', 1), '')"
     )
     loc_expr = unesc.format(c=field.format(t="loc"))
-    idx_branch = branch.format(kind="sitemapindex", tag="sitemap",
-                               neg="AND NOT")
-    url_branch = branch.format(kind="urlset", tag="url", neg="= FALSE AND")
+    idx_branch = branch.format(kind="sitemapindex", tag="sitemap")
+    url_branch = branch.format(kind="urlset", tag="url")
     want = {
         tuple(r)
         for r in con.execute(
             f"""
-            WITH b AS (
+            WITH s AS (
+              SELECT url, xml,
+                     strpos(xml, '<sitemapindex') AS pi,
+                     strpos(xml, '<urlset') AS pu
+              FROM smaps
+            ), k AS (
+              SELECT url, xml,
+                     CASE WHEN pi > 0 AND (pu = 0 OR pi < pu)
+                            THEN 'sitemapindex'
+                          WHEN pu > 0 THEN 'urlset' END AS kind
+              FROM s
+            ), b AS (
               {idx_branch}
               UNION ALL
               {url_branch}
@@ -632,9 +667,12 @@ def test_parse_sitemaps_matches_duckdb_replay(spark, docs):
             SELECT sitemap_url, kind,
                    {loc_expr} AS loc,
                    {field.format(t="lastmod")} AS lastmod,
-                   {field.format(t="changefreq")} AS changefreq,
-                   TRY_CAST({field.format(t="priority")} AS DOUBLE)
-                       AS priority
+                   CASE WHEN kind = 'urlset'
+                        THEN {field.format(t="changefreq")} END
+                       AS changefreq,
+                   CASE WHEN kind = 'urlset'
+                        THEN TRY_CAST({field.format(t="priority")} AS DOUBLE)
+                        END AS priority
             FROM b
             WHERE loc IS NOT NULL
             """

@@ -115,10 +115,19 @@ def write_sidecar_record(
     silently desynchronize.
 
     Target-URI is UTF-8-encoded (ASCII-identical for ASCII urls;
-    IRIs serialize instead of raising like latin-1 would).
+    IRIs serialize instead of raising like latin-1 would) — readers
+    of sidecar records must decode it as UTF-8 (see
+    decode_sidecar_url). Dates go through warc_datetime_str (the one
+    WARC date convention this kernel exports); tz-aware timestamps
+    are normalized to naive UTC first so the 'Z' suffix stays
+    truthful.
     """
     uhash = hashlib.md5(url.encode("utf-8")).hexdigest().encode()
-    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode("latin-1")
+    if getattr(ts, "tzinfo", None) is not None:
+        from datetime import timezone as _tz
+
+        ts = ts.astimezone(_tz.utc).replace(tzinfo=None)
+    date = warc_datetime_str(ts)
     return write_warc_record(
         [
             (b"WARC-Type", warc_type),
@@ -131,3 +140,11 @@ def write_sidecar_record(
         payload,
         gzip_record=gzip_record,
     )
+
+
+def decode_sidecar_url(raw: bytes | None) -> str:
+    """Decode a Target-URI written by write_sidecar_record: UTF-8
+    with replacement (ASCII-identical for ASCII urls) — the paired
+    read convention, so sidecar operators can't half-migrate to a
+    different charset than the writer."""
+    return (raw or b"").decode("utf-8", "replace")

@@ -212,7 +212,10 @@ def wet_conversion(pages: DataFrame, gzip_output: bool = False) -> DataFrame:
 
     from warctools_spark.kernels.http_decode import decode_http
     from warctools_spark.kernels.warc_parse import parse_archive
-    from warctools_spark.kernels.warc_write import write_sidecar_record
+    from warctools_spark.kernels.warc_write import (
+        decode_sidecar_url,
+        write_sidecar_record,
+    )
 
     def run(batches):
         for pdf in batches:
@@ -220,6 +223,11 @@ def wet_conversion(pages: DataFrame, gzip_output: bool = False) -> DataFrame:
             for url, ts, html in zip(
                 pdf["url"], pdf["warc_ts"], pdf["html"]
             ):
+                # same skip-don't-crash posture as wat_records: rows
+                # that never identified or dated a response have no
+                # sidecar to derive
+                if url is None or html is None or pd.isna(ts):
+                    continue
                 text = decode_http(bytes(html), kind="response").decoded_body()
                 rec = write_sidecar_record(
                     url,
@@ -233,7 +241,7 @@ def wet_conversion(pages: DataFrame, gzip_output: bool = False) -> DataFrame:
                 (row,) = parse_archive(rec, fmt="warc", gzip_mode="auto")
                 out.append(
                     {
-                        "url": (row.url or b"").decode("latin-1"),
+                        "url": decode_sidecar_url(row.url),
                         "rec_type": (row.record_type or b"").decode("latin-1"),
                         "refers_to": (
                             row.get_header(b"WARC-Refers-To") or b""

@@ -45,7 +45,13 @@ def _field(block: Column, tag: str) -> Column:
 def _unescape_xml(c: Column) -> Column:
     """The five predefined XML entities, &amp; last so freshly
     produced '&' can't re-trigger another entity (spec-correct for
-    well-formed input that escapes every literal '&')."""
+    well-formed input that escapes every literal '&').
+
+    Documented limit: numeric character references (&#38; / &#x26;)
+    pass through unchanged — sitemaps.org's own escaping table uses
+    only the named entities, and decoding arbitrary charrefs is not
+    expressible as a Catalyst replace chain; a consumer needing them
+    decoded should post-process the rare rows containing '&#'."""
     for ent, ch in (
         ("&lt;", "<"),
         ("&gt;", ">"),
@@ -73,9 +79,17 @@ def parse_sitemaps(
     <loc>) contribute no rows.
     """
     xml = F.col(xml_col)
+    # kind = whichever root tag opens FIRST — a urlset whose payload
+    # merely mentions '<sitemapindex' in a comment or entry text must
+    # still parse as a urlset (and vice versa)
+    p_idx = F.instr(xml, "<sitemapindex")
+    p_url = F.instr(xml, "<urlset")
     kind = (
-        F.when(xml.contains("<sitemapindex"), F.lit("sitemapindex"))
-        .when(xml.contains("<urlset"), F.lit("urlset"))
+        F.when(
+            (p_idx > 0) & ((p_url == 0) | (p_idx < p_url)),
+            F.lit("sitemapindex"),
+        )
+        .when(p_url > 0, F.lit("urlset"))
         .otherwise(F.lit(None))
     )
     blocks = F.when(
@@ -99,10 +113,16 @@ def parse_sitemaps(
             "kind",
             _unescape_xml(_field(entry, "loc")).alias("loc"),
             _field(entry, "lastmod").alias("lastmod"),
-            _field(entry, "changefreq").alias("changefreq"),
+            # changefreq/priority are urlset-only per spec — a stray
+            # tag inside a <sitemap> block must not leak through.
             # try_cast: a malformed <priority> yields null instead of
             # killing the job under ANSI mode
-            _field(entry, "priority").try_cast("double").alias("priority"),
+            F.when(F.col("kind") == "urlset", _field(entry, "changefreq"))
+            .alias("changefreq"),
+            F.when(
+                F.col("kind") == "urlset",
+                _field(entry, "priority").try_cast("double"),
+            ).alias("priority"),
         )
         .where(F.col("loc").isNotNull())
     )

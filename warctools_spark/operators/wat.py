@@ -77,8 +77,9 @@ def wat_records(
     kernel returns flat links for every link-bearing tag/attr
     (mirroring reference warclinks), so per-link `path` provenance
     (CC's `A@/href`) is not known and is not fabricated. Repeated
-    HTTP headers (Set-Cookie et al.) are comma-joined into one
-    Headers entry, deterministically.
+    HTTP headers (Set-Cookie et al.) become a JSON array under their
+    one Headers key — lossless and deterministic, where comma-joining
+    would collide with the commas inside cookie Expires dates.
 
     `links_digest` = md5 of the extracted links joined by '\\n' in
     document order (null when no links) — a fixed-width per-page
@@ -90,7 +91,10 @@ def wat_records(
     from warctools_spark.kernels.http_decode import decode_http
     from warctools_spark.kernels.links import extract_links
     from warctools_spark.kernels.warc_parse import parse_archive
-    from warctools_spark.kernels.warc_write import write_sidecar_record
+    from warctools_spark.kernels.warc_write import (
+        decode_sidecar_url,
+        write_sidecar_record,
+    )
 
     def run(batches):
         for pdf in batches:
@@ -109,11 +113,21 @@ def wat_records(
                 links = extract_links(url, body) if is_html else []
                 title = _title_of(body) if is_html else None
 
-                headers: dict[str, str] = {}
+                # repeated headers (Set-Cookie) become a JSON array —
+                # comma-joining would be ambiguous because cookie
+                # Expires dates legally contain commas
+                headers: dict = {}
                 for k, v in res.headers:
                     ks = k.decode("latin-1")
                     vs = v.decode("latin-1")
-                    headers[ks] = headers[ks] + "," + vs if ks in headers else vs
+                    if ks in headers:
+                        cur = headers[ks]
+                        if isinstance(cur, list):
+                            cur.append(vs)
+                        else:
+                            headers[ks] = [cur, vs]
+                    else:
+                        headers[ks] = vs
                 env: dict = {
                     "Envelope": {
                         "Format": "WARC",
@@ -165,7 +179,7 @@ def wat_records(
                 )
                 out.append(
                     {
-                        "url": (row.url or b"").decode("latin-1"),
+                        "url": decode_sidecar_url(row.url),
                         "rec_type": (row.record_type or b"").decode("latin-1"),
                         "refers_to": (
                             row.get_header(b"WARC-Refers-To") or b""
