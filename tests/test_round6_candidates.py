@@ -1,5 +1,6 @@
-"""Round-6 registration candidates: host-graph PageRank and BM25
-ranked retrieval. The 50-entry certification window is saturated this
+"""Round-6 registration candidates: host-graph PageRank, BM25 ranked
+retrieval, vocab coverage, HLL overlap, WAT sidecar metadata, and
+sitemap parsing. The 50-entry certification window is saturated this
 round (95 = 50 in-window + 45 r04-certified tail), so these ship with
 oracle-GRADE evidence locally — each test replays the exact
 computation in DuckDB and compares the full value multiset — and get
