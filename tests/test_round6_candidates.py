@@ -680,3 +680,105 @@ def test_parse_sitemaps_matches_duckdb_replay(spark, docs):
         ).fetchall()
     }
     assert len(got) > 400 and got == want
+
+
+# ------------------------------------------------------------- urlspace
+
+
+def test_url_templates_toy_semantics(spark):
+    from warctools_spark.operators.urlspace import url_templates
+
+    rows = (
+        ["http://Trap.example.com/cal/%d/day" % i for i in range(50)]
+        + ["http://Trap.example.com/cal/7/day"]  # literal refetch
+        + ["https://ok.example.com/about", "https://ok.example.com/about"]
+        + ["http://h.example.com/s/deadbeef1234/x?sid=99"]  # hex + query
+        + ["no-scheme/path/1"]  # dropped
+    )
+    df = spark.createDataFrame([(u,) for u in rows], "url string")
+    got = {(r.host, r.template): r for r in url_templates(df).collect()}
+    trap = got[("trap.example.com", "/cal/{n}/day")]  # host lowercased
+    assert (trap.n_urls, trap.n_distinct) == (51, 50)
+    about = got[("ok.example.com", "/about")]
+    assert (about.n_urls, about.n_distinct) == (2, 1)
+    # hex run -> {h}, query string dropped from the template
+    assert ("h.example.com", "/s/{h}/x") in got
+    assert len(got) == 3  # schemeless row contributed nothing
+
+
+def test_url_templates_plan_jvm_two_exchanges(spark):
+    from warctools_spark.operators.urlspace import url_templates
+
+    df = spark.createDataFrame([("http://a/b/1",)], "url string")
+    plan = url_templates(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two-level agg: exactly the two planned shuffles, both partial-agg'd
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def _synth_urls(docs_pdf):
+    import hashlib as h
+
+    urls = []
+    for i in sorted(int(x) for x in docs_pdf["doc_id"]):
+        host = (
+            "hot.example.com" if i % 10 < 3 else "src%d.example.com" % (i % 20)
+        )
+        base = "http://%s/doc/%d.html" % (host, i)
+        urls.append(base)
+        if i % 7 == 0:
+            urls.append(base)  # literal refetch
+        if i % 5 == 0:
+            urls.append(
+                "http://%s/session/%s/view"
+                % (host, h.md5(str(i).encode()).hexdigest()[:16])
+            )
+        if i % 3 == 0:
+            urls.append(base + "?page=%d" % i)  # same template as base
+        if i % 97 == 0:
+            urls.append("junk-no-scheme/%d" % i)
+    return urls
+
+
+def test_url_templates_matches_duckdb_replay(spark, docs):
+    from warctools_spark.operators.urlspace import (
+        _HEX_RUN,
+        _HOST_RE,
+        _NUM_RUN,
+        _PATH_RE,
+        url_templates,
+    )
+
+    urls = _synth_urls(docs.toPandas())
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {tuple(r) for r in url_templates(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE urls (url VARCHAR)")
+    con.executemany("INSERT INTO urls VALUES (?)", [(u,) for u in urls])
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH t AS (
+              SELECT lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host,
+                     regexp_replace(regexp_replace(
+                       regexp_extract(url, '{_PATH_RE}', 1),
+                       '{_HEX_RUN}', '{{h}}', 'g'),
+                       '{_NUM_RUN}', '{{n}}', 'g') AS template,
+                     url
+              FROM urls
+              WHERE lower(regexp_extract(url, '{_HOST_RE}', 1)) <> ''
+            ), pu AS (
+              SELECT host, template, url AS u, count(*) AS c
+              FROM t GROUP BY 1, 2, 3
+            )
+            SELECT host, template,
+                   CAST(sum(c) AS BIGINT) AS n_urls,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   min(u) AS sample_url
+            FROM pu GROUP BY host, template
+            """
+        ).fetchall()
+    }
+    assert len(got) >= 15 and got == want
