@@ -692,18 +692,25 @@ def test_url_templates_toy_semantics(spark):
         ["http://Trap.example.com/cal/%d/day" % i for i in range(50)]
         + ["http://Trap.example.com/cal/7/day"]  # literal refetch
         + ["https://ok.example.com/about", "https://ok.example.com/about"]
+        + ["https://ok.example.com/about#s%d" % i for i in range(5)]
         + ["http://h.example.com/s/deadbeef1234/x?sid=99"]  # hex + query
+        + ["http://u:p@h.example.com:8080/s/cafe0123beef99/x"]
+        + ["http://d.example.com/a/20260817/x"]  # 8-digit date: {n}
         + ["no-scheme/path/1"]  # dropped
     )
     df = spark.createDataFrame([(u,) for u in rows], "url string")
     got = {(r.host, r.template): r for r in url_templates(df).collect()}
     trap = got[("trap.example.com", "/cal/{n}/day")]  # host lowercased
     assert (trap.n_urls, trap.n_distinct) == (51, 50)
+    # fragment-only variants are ONE fetchable url
     about = got[("ok.example.com", "/about")]
-    assert (about.n_urls, about.n_distinct) == (2, 1)
-    # hex run -> {h}, query string dropped from the template
-    assert ("h.example.com", "/s/{h}/x") in got
-    assert len(got) == 3  # schemeless row contributed nothing
+    assert (about.n_urls, about.n_distinct) == (7, 1)
+    # lettered hex run -> {h}; query dropped; userinfo+port stripped
+    hx = got[("h.example.com", "/s/{h}/x")]
+    assert (hx.n_urls, hx.n_distinct) == (2, 2)
+    # a pure-digit 8-run is {n}, not {h} — dates/ids stay one class
+    assert ("d.example.com", "/a/{n}/x") in got
+    assert len(got) == 4  # schemeless row contributed nothing
 
 
 def test_url_templates_plan_jvm_two_exchanges(spark):
@@ -735,6 +742,11 @@ def _synth_urls(docs_pdf):
             )
         if i % 3 == 0:
             urls.append(base + "?page=%d" % i)  # same template as base
+        if i % 11 == 0:
+            urls.append(base + "#sec%d" % i)  # fragment: same fetch url
+        if i % 13 == 0:
+            # 8-digit date run stays {n}; port/userinfo stripped
+            urls.append("http://u@%s:8080/d/2026%04d/x" % (host, i % 10000))
         if i % 97 == 0:
             urls.append("junk-no-scheme/%d" % i)
     return urls
@@ -742,6 +754,7 @@ def _synth_urls(docs_pdf):
 
 def test_url_templates_matches_duckdb_replay(spark, docs):
     from warctools_spark.operators.urlspace import (
+        _FETCH_RE,
         _HEX_RUN,
         _HOST_RE,
         _NUM_RUN,
@@ -766,11 +779,11 @@ def test_url_templates_matches_duckdb_replay(spark, docs):
                        regexp_extract(url, '{_PATH_RE}', 1),
                        '{_HEX_RUN}', '{{h}}', 'g'),
                        '{_NUM_RUN}', '{{n}}', 'g') AS template,
-                     url
+                     regexp_extract(url, '{_FETCH_RE}', 1) AS u
               FROM urls
               WHERE lower(regexp_extract(url, '{_HOST_RE}', 1)) <> ''
             ), pu AS (
-              SELECT host, template, url AS u, count(*) AS c
+              SELECT host, template, u, count(*) AS c
               FROM t GROUP BY 1, 2, 3
             )
             SELECT host, template,

@@ -9,14 +9,22 @@ counterpart — warctools has no frontier analytics.
 
 Template rule (deterministic, engine-portable — RE2-compatible
 patterns shared verbatim with the DuckDB replay):
-  1. long hex runs (>= 8 chars, e.g. session ids, content hashes)
-     -> '{h}'   — applied FIRST so digit runs inside them don't
-     split the token
+  1. hex runs of >= 8 chars CONTAINING AT LEAST ONE LETTER
+     (session ids, content hashes) -> '{h}' — applied first so digit
+     runs inside them don't split the token. The letter requirement
+     keeps 8+-digit runs (dates like 20260817, epoch timestamps,
+     growing numeric ids) in the '{n}' class, so a numeric id space
+     straddling the 7/8-digit boundary stays ONE template. RE2 has
+     no lookahead, so the condition is spelled as an exact 8-branch
+     union over the position of the first letter.
   2. digit runs -> '{n}'
 Query strings and fragments are dropped before templating (they are
 the highest-cardinality trap axis; the template keeps only the path
-shape). Host/path are taken with one regexp each rather than
-parse_url so the oracle replay is the same expression.
+shape). Host matches parse_url(..., 'HOST') semantics — userinfo
+and port stripped, lowercased — so the output joins against every
+other host-keyed operator (host_agg, host_quality_rollup,
+ngram_novelty rollups). Host/path are taken with one regexp each
+rather than parse_url so the oracle replay is the same expression.
 
 Scale: an explicit two-level aggregation instead of count_distinct's
 Expand rewrite — first collapse to (host, template, url) rows, then
@@ -34,10 +42,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 _PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
-_HEX_RUN = "[0-9a-fA-F]{8,}"
+# >= 8 hex chars with >= 1 letter, as a union over the first-letter
+# position (RE2 has no lookahead; branch p: p leading digits, the
+# letter, then enough hex to reach total length 8 — greedy tails
+# extend every branch to the end of the run)
+_HEX_RUN = "|".join(
+    ["[0-9]{%d}[a-fA-F][0-9a-fA-F]{%d,}" % (p, 7 - p) for p in range(7)]
+    + ["[0-9]{7,}[a-fA-F][0-9a-fA-F]*"]
+)
 _NUM_RUN = "[0-9]+"
+# the fetchable url: everything before the fragment — '#section'
+# variants are one url to a server and must not inflate n_distinct
+_FETCH_RE = "^([^#]*)"
 
 
 def url_templates(
@@ -47,12 +65,16 @@ def url_templates(
 ) -> DataFrame:
     """urls -> one row per (host, template):
 
-      host        authority part (lowercased)
-      template    path with hex runs -> '{h}', digit runs -> '{n}'
+      host        parse_url-HOST-equivalent (userinfo/port stripped,
+                  lowercased)
+      template    path with lettered hex runs -> '{h}', digit runs
+                  -> '{n}'
       n_urls      input rows collapsing to the template
-      n_distinct  distinct urls among them (n_urls > n_distinct means
-                  literal refetches, not a widening space)
-      sample_url  min(url) — a stable concrete example
+      n_distinct  distinct FETCHABLE urls among them (fragment
+                  stripped — '#toc' variants are one url to a
+                  server; n_urls > n_distinct means literal
+                  refetches, not a widening space)
+      sample_url  min over the fetchable urls — a stable example
 
     Rows whose url lacks a scheme://authority prefix are dropped
     (nothing to aggregate by). `min_urls` prunes the long tail at the
@@ -70,12 +92,13 @@ def url_templates(
     template = F.regexp_replace(
         F.regexp_replace(path, _HEX_RUN, "{h}"), _NUM_RUN, "{n}"
     )
+    fetch_url = F.regexp_extract(url, _FETCH_RE, 1)
     per_url = (
         df.where(host != "")
         .groupBy(
             host.alias("host"),
             template.alias("template"),
-            url.alias("u"),
+            fetch_url.alias("u"),
         )
         .agg(F.count("*").alias("c"))
     )
