@@ -1,6 +1,7 @@
 """Round-6 registration candidates: host-graph PageRank, BM25 ranked
-retrieval, vocab coverage, HLL overlap, WAT sidecar metadata, and
-sitemap parsing. The 50-entry certification window is saturated this
+retrieval, vocab coverage, HLL overlap, WAT sidecar metadata, sitemap
+parsing, and URL path-template mining. The 50-entry certification
+window is saturated this
 round (95 = 50 in-window + 45 r04-certified tail), so these ship with
 oracle-GRADE evidence locally — each test replays the exact
 computation in DuckDB and compares the full value multiset — and get
