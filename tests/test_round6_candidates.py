@@ -796,3 +796,403 @@ def test_url_templates_matches_duckdb_replay(spark, docs):
         ).fetchall()
     }
     assert len(got) >= 15 and got == want
+
+
+# ------------------------------------------------------------ trustrank
+
+
+def test_trustrank_seed_bias_and_unreachable_zero(spark):
+    from warctools_spark.operators.graph import trustrank
+
+    tr = {
+        r.node: r.trustrank
+        for r in trustrank(_toy_edges(spark), ["a"], weight_col="w").collect()
+    }
+    assert set(tr) == {"a", "b", "c", "d", "e"}
+    # total mass conserved: teleport + dangling both redistribute to t
+    assert abs(sum(tr.values()) - 1.0) < 1e-4
+    # d has no in-links and is not a seed -> exactly zero trust
+    assert tr["d"] == 0.0
+    # everything on the seed's cycle keeps positive trust
+    assert min(tr["a"], tr["b"], tr["c"], tr["e"]) > 0.0
+    # the seed itself outranks the sink two hops out
+    assert tr["a"] > tr["e"]
+
+
+def test_trustrank_ignores_unknown_seeds_and_accepts_dataframe(spark):
+    from warctools_spark.operators.graph import trustrank
+
+    e = _toy_edges(spark)
+    base = {r.node: r.trustrank for r in trustrank(e, ["a"], weight_col="w").collect()}
+    # a seed absent from the graph is dropped before normalization
+    with_junk = {
+        r.node: r.trustrank
+        for r in trustrank(e, ["a", "not-a-host"], weight_col="w").collect()
+    }
+    assert base == with_junk
+    # single-column DataFrame form is equivalent
+    seed_df = spark.createDataFrame([("a",)], "host string")
+    as_df = {r.node: r.trustrank for r in trustrank(e, seed_df, weight_col="w").collect()}
+    assert base == as_df
+    with pytest.raises(ValueError):
+        trustrank(e, ["not-a-host"], weight_col="w")
+    with pytest.raises(ValueError):
+        trustrank(e, ["a"], damping=0.0)
+
+
+def test_trustrank_partitioning_invariant(spark):
+    from warctools_spark.operators.graph import trustrank
+
+    e = _toy_edges(spark)
+    a = {r.node: r.trustrank for r in trustrank(e, ["a", "d"], weight_col="w").collect()}
+    b = {
+        r.node: r.trustrank
+        for r in trustrank(e.repartition(7), ["a", "d"], weight_col="w").collect()
+    }
+    assert a == b
+
+
+def test_trustrank_matches_duckdb_replay(spark, docs):
+    from warctools_spark.operators.graph import trustrank
+
+    n_iter, d = 10, 0.85
+    seeds = ["hot.example.com", "src3.example.com"]
+    got = {
+        (r.node, r.trustrank)
+        for r in trustrank(
+            _synth_edges(docs), seeds, n_iter=n_iter, weight_col="n_links"
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    con.execute(f"CREATE TEMP TABLE edges AS {_EDGES_SQL}")
+    con.execute(
+        """CREATE TEMP TABLE nodes AS
+           SELECT DISTINCT node FROM (
+             SELECT src_host AS node FROM edges
+             UNION SELECT dst_host FROM edges)"""
+    )
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    ns = con.execute(
+        f"SELECT COUNT(*) FROM nodes WHERE node IN ({seed_list})"
+    ).fetchone()[0]
+    tval = 1.0 / ns
+    con.execute(
+        f"""CREATE TEMP TABLE teleport AS
+            SELECT node,
+                   CASE WHEN node IN ({seed_list}) THEN {tval!r}
+                        ELSE 0.0 END AS t
+            FROM nodes"""
+    )
+    con.execute(
+        """CREATE TEMP TABLE share AS
+           SELECT e.src_host AS src, e.dst_host AS dst,
+                  SUM(e.n_links) / w.wout AS share
+           FROM edges e
+           JOIN (SELECT src_host, SUM(n_links) AS wout
+                 FROM edges GROUP BY 1) w ON w.src_host = e.src_host
+           GROUP BY e.src_host, e.dst_host, w.wout"""
+    )
+    con.execute(
+        """CREATE TEMP TABLE sinks AS
+           SELECT node FROM nodes
+           WHERE node NOT IN (SELECT DISTINCT src_host FROM edges)"""
+    )
+    con.execute(
+        "CREATE TEMP TABLE ranks AS SELECT node, ROUND(t, 12) AS pr FROM teleport"
+    )
+    for _ in range(n_iter):
+        con.execute(
+            f"""CREATE OR REPLACE TEMP TABLE ranks AS
+            WITH contrib AS (
+              SELECT s.dst, SUM(r.pr * s.share) AS c
+              FROM share s JOIN ranks r ON r.node = s.src GROUP BY s.dst
+            ), dang AS (
+              SELECT COALESCE(SUM(r.pr), 0.0) AS dang
+              FROM sinks k JOIN ranks r ON r.node = k.node
+            )
+            SELECT tp.node,
+                   ROUND({1.0 - d!r} * tp.t + {d!r} * (COALESCE(c.c, 0.0)
+                         + (SELECT dang FROM dang) * tp.t), 12) AS pr
+            FROM teleport tp LEFT JOIN contrib c ON c.dst = tp.node"""
+        )
+    want = {
+        (node, pr)
+        for node, pr in con.execute(
+            "SELECT node, ROUND(pr, 6) FROM ranks"
+        ).fetchall()
+    }
+    assert got == want
+
+
+# ------------------------------------------------- surt / crawl scope
+
+
+def test_surt_key_semantics(spark):
+    from warctools_spark.operators.urlspace import surt_key
+
+    cases = [
+        ("http://www.Example.com:8080/A/b?Q=1#f", "com,example,www)/A/b?Q=1"),
+        ("https://example.com", "com,example)/"),
+        ("http://user:pw@a.b.c/x", "c,b,a)/x"),
+        ("http://example.com./x", "com,example)/x"),
+        ("http://[::1]/x", ""),
+        ("junk-no-scheme/1", ""),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = dict(df.select("url", surt_key("url").alias("s")).collect())
+    assert got == {u: s for u, s in cases}
+
+
+def test_scope_prefixes_modes(spark):
+    from warctools_spark.operators.urlspace import scope_prefixes
+
+    def pref(seeds, mode):
+        df = spark.createDataFrame([(s,) for s in seeds], "seed_url string")
+        return {r.prefix for r in scope_prefixes(df, mode).collect()}
+
+    # prefix mode: truncate to the seed's directory, query dropped
+    assert pref(["http://a.com/d/p.html"], "prefix") == {"com,a)/d/"}
+    assert pref(["http://a.com/d/"], "prefix") == {"com,a)/d/"}
+    assert pref(["http://a.com"], "prefix") == {"com,a)/"}
+    assert pref(["http://a.com/d/p?x=/y"], "prefix") == {"com,a)/d/"}
+    # host mode: the ')' pins the exact-host boundary
+    assert pref(["http://www.a.com/x"], "host") == {"com,a,www)"}
+    # domain mode: leading www stripped, two boundary-exact prefixes
+    assert pref(["http://www.a.com/x"], "domain") == {"com,a)", "com,a,"}
+    # non-DNS seeds contribute nothing
+    assert pref(["http://[::1]/x"], "domain") == set()
+    with pytest.raises(ValueError):
+        pref(["http://a.com/"], "bogus")
+
+
+def test_scope_filter_semantics(spark):
+    from warctools_spark.operators.urlspace import scope_filter
+
+    cand = spark.createDataFrame(
+        [
+            ("http://a.com/d/page.html",),   # in dir scope
+            ("http://a.com/other/x",),       # host yes, dir no
+            ("http://sub.a.com/d/x",),       # domain yes, host no
+            ("http://www.a.com/",),          # www subdomain of a.com
+            ("http://another.com/d/x",),     # 'com,another' boundary test
+            ("http://a.comx.net/",),         # host-string prefix trap
+            ("junk",),
+        ],
+        "url string",
+    )
+    seeds = ["http://www.a.com/d/"]
+
+    def urls(mode):
+        return {r.url for r in scope_filter(cand, seeds, mode).collect()}
+
+    # prefix scope is the seed's own host + directory
+    assert urls("prefix") == set()  # seed host is www.a.com, no cand matches
+    assert {
+        r.url for r in scope_filter(cand, ["http://a.com/d/"], "prefix").collect()
+    } == {"http://a.com/d/page.html"}
+    assert urls("host") == {"http://www.a.com/"}
+    assert urls("domain") == {
+        "http://a.com/d/page.html",
+        "http://a.com/other/x",
+        "http://sub.a.com/d/x",
+        "http://www.a.com/",
+    }
+    # keep_surt exposes the key
+    row = scope_filter(cand, seeds, "host", keep_surt=True).collect()[0]
+    assert row.surt == "com,a,www)/"
+
+
+def test_scope_filter_plan_broadcast_no_python(spark):
+    from warctools_spark.operators.urlspace import scope_filter
+
+    cand = spark.createDataFrame([("http://a.com/x",)], "url string")
+    plan = (
+        scope_filter(cand, ["http://a.com/"], "domain")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan and "LeftSemi" in plan
+
+
+_SURT_SQL = """
+    CASE WHEN regexp_matches(h, '^[a-z0-9._-]+$')
+         THEN array_to_string(list_reverse(string_split(h, '.')), ',')
+              || ')' || CASE WHEN pq = '' THEN '/' ELSE pq END
+         ELSE '' END
+"""
+
+
+def _duck_scoped(urls, prefixes):
+    from warctools_spark.operators.urlspace import _HOST_RE, _PATHQ_RE
+
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE cand (url VARCHAR)")
+    con.executemany("INSERT INTO cand VALUES (?)", [(u,) for u in urls])
+    con.execute("CREATE TEMP TABLE pref (prefix VARCHAR)")
+    con.executemany("INSERT INTO pref VALUES (?)", [(p,) for p in prefixes])
+    return sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            WITH s AS (
+              SELECT url,
+                     regexp_replace(lower(regexp_extract(url, '{_HOST_RE}', 1)),
+                                    '^\\.+|\\.+$', '', 'g') AS h,
+                     regexp_extract(url, '{_PATHQ_RE}', 1) AS pq
+              FROM cand
+            ), k AS (SELECT url, {_SURT_SQL} AS surt FROM s)
+            SELECT url FROM k
+            WHERE EXISTS (SELECT 1 FROM pref p
+                          WHERE starts_with(k.surt, p.prefix))
+            """
+        ).fetchall()
+    )
+
+
+def test_scope_filter_matches_duckdb_replay(spark, docs):
+    from warctools_spark.operators.urlspace import scope_filter, scope_prefixes
+
+    urls = _synth_urls(docs.toPandas())
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    for mode, seeds in [
+        ("domain", ["http://www.src3.example.com/x", "http://hot.example.com/"]),
+        ("prefix", ["http://hot.example.com/doc/", "http://src7.example.com/session/"]),
+        ("host", ["http://hot.example.com/"]),
+    ]:
+        seed_df = spark.createDataFrame([(s,) for s in seeds], "seed_url string")
+        got = sorted(r.url for r in scope_filter(df, seed_df, mode).collect())
+        prefixes = [r.prefix for r in scope_prefixes(seed_df, mode).collect()]
+        want = _duck_scoped(urls, prefixes)
+        assert len(got) > 0 and got == want, mode
+
+
+# ---------------------------------------------------------- kneser-ney
+
+
+def test_kneser_ney_rows_and_ordering(spark):
+    from warctools_spark.operators.text_analysis import kneser_ney_logprob
+
+    rows = [
+        (1, "the cat sat on the mat " * 5),
+        (2, "the cat sat on the mat " * 5),
+        (3, "zeta quix bravo nolt fargle wemp"),  # word salad
+        (4, ""),  # empty doc keeps its row
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in kneser_ney_logprob(df).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # empty docs: exactly the (S,S,E) event
+    assert got[4].n_trigrams == 1 and got[5].n_trigrams == 1
+    # repeated fluent text scores far lower than one-off word salad
+    assert got[1].mean_neg_logprob_kn < got[3].mean_neg_logprob_kn
+    assert got[1].n_trigrams == 31  # 30 tokens + end event
+    with pytest.raises(ValueError):
+        kneser_ney_logprob(df, discount=1.0)
+
+
+def test_kneser_ney_partitioning_invariant(spark):
+    from warctools_spark.operators.text_analysis import kneser_ney_logprob
+
+    rows = [(i, "w%d the of and x%d the" % (i % 7, i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = sorted(map(tuple, kneser_ney_logprob(df).collect()))
+    b = sorted(map(tuple, kneser_ney_logprob(df.repartition(13)).collect()))
+    assert a == b
+
+
+_KN_MODEL_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             [chr(2), chr(2)]
+               || list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')
+               || [chr(3)] AS pd
+      FROM docs
+    ), tri AS (
+      SELECT doc_id, pd[i] AS w1, pd[i+1] AS w2, pd[i+2] AS w3
+      FROM t, UNNEST(range(1, len(pd) - 1)) AS u(i)
+    ), tgc AS (
+      SELECT doc_id, w1, w2, w3, count(*) AS c
+      FROM tri GROUP BY ALL
+    ), c3 AS (
+      SELECT w1, w2, w3, sum(c) AS c3 FROM tgc GROUP BY ALL
+    ), ctx3 AS (
+      SELECT w1, w2, sum(c3) AS c2ctx, count(*) AS f3 FROM c3 GROUP BY ALL
+    ), m2 AS (
+      SELECT w2, w3, count(*) AS m2 FROM c3 GROUP BY ALL
+    ), ctx2 AS (
+      SELECT w2, sum(m2) AS m2ctx, count(*) AS f2 FROM m2 GROUP BY ALL
+    ), m1 AS (
+      SELECT w3, count(*) AS m1 FROM m2 GROUP BY ALL
+    ), tot AS (
+      SELECT CAST(sum(m1) AS DOUBLE) AS M FROM m1
+    )
+"""
+
+_KN_P_SQL = """
+      GREATEST(c3 - {D}, 0.0) / c2ctx
+      + {D} * f3 / c2ctx * (
+          GREATEST(m2 - {D}, 0.0) / m2ctx
+          + {D} * f2 / m2ctx * (m1 / M))
+"""
+
+
+def test_kneser_ney_matches_duckdb_replay_and_normalizes(spark, docs):
+    from warctools_spark.operators.text_analysis import kneser_ney_logprob
+
+    got = {tuple(r) for r in kneser_ney_logprob(docs).collect()}
+
+    con = duckdb.connect()
+    con.register("docs", docs.select("doc_id", "text").toPandas())
+    D = 0.75
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""{_KN_MODEL_SQL}
+            SELECT g.doc_id,
+                   CAST(sum(g.c) AS BIGINT) AS n_trigrams,
+                   ROUND(sum(g.c * -ln({_KN_P_SQL.format(D=D)}))
+                         / sum(g.c), 4) AS mean_neg_logprob_kn
+            FROM tgc g
+            JOIN c3 USING (w1, w2, w3)
+            JOIN ctx3 USING (w1, w2)
+            JOIN m2 USING (w2, w3)
+            JOIN ctx2 USING (w2)
+            JOIN m1 USING (w3)
+            CROSS JOIN tot
+            GROUP BY g.doc_id
+            """
+        ).fetchall()
+    }
+    assert len(got) == docs.count() and got == want
+
+    # the model normalizes: for an observed context, summing P over
+    # the ENTIRE w3 vocabulary (unigram-continuation table) is 1
+    norm = con.execute(
+        f"""{_KN_MODEL_SQL},
+        ctx AS (SELECT w1, w2 FROM ctx3 ORDER BY c2ctx DESC, w1, w2 LIMIT 3),
+        grid AS (
+          SELECT ctx.w1, ctx.w2, m1.w3,
+                 COALESCE(c3.c3, 0) AS c3, x3.c2ctx, x3.f3,
+                 COALESCE(m2.m2, 0) AS m2, x2.m2ctx, x2.f2, m1.m1, tot.M
+          FROM ctx
+          CROSS JOIN m1
+          JOIN ctx3 x3 USING (w1, w2)
+          LEFT JOIN c3 USING (w1, w2, w3)
+          LEFT JOIN m2 USING (w2, w3)
+          JOIN ctx2 x2 USING (w2)
+          CROSS JOIN tot
+        )
+        SELECT w1, w2, sum({_KN_P_SQL.format(D=D)}) AS s
+        FROM grid GROUP BY w1, w2
+        """
+    ).fetchall()
+    assert len(norm) == 3
+    for _, _, s in norm:
+        assert abs(s - 1.0) < 1e-9

@@ -1124,3 +1124,111 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def kneser_ney_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean trigram negative log-probability under an
+    interpolated Kneser-Ney model trained on the corpus itself — the
+    strongest member of the CCNet-style fluency family here
+    (unigram_logprob -> bigram_logprob -> this). Interpolated KN with
+    a fixed absolute discount D (Kneser & Ney 1995; Chen & Goodman
+    1998 eq. 4.25-4.27 is THE public reference):
+
+      P(w3|w1w2) = max(c(w1w2w3)-D,0)/c(w1w2.)
+                   + D*N1+(w1w2.)/c(w1w2.) * Pc(w3|w2)
+      Pc(w3|w2)  = max(N1+(.w2w3)-D,0)/N1+(.w2.)
+                   + D*N1+(w2.)/N1+(.w2.) * Pc(w3)
+      Pc(w3)     = N1+(.w3) / N1+(..)
+
+    where N1+ counts DISTINCT extensions (the continuation counts
+    that make KN rank "Francisco" low outside "San _"). Documents are
+    padded with two \\x02 start sentinels and one \\x03 end sentinel,
+    so every token plus the end event is predicted by exactly one
+    trigram and all lower-order counts derive consistently from the
+    trigram table. (A corpus whose whitespace tokens literally
+    contain \\x02/\\x03 would pollute the sentinel rows — binary junk
+    should be gated upstream, e.g. gopher_gate.) Self-scored, so
+    every event has count >= 1 in its own context and no probability
+    is ever 0; scoring a foreign corpus needs an OOV contract this
+    operator deliberately does not invent.
+
+    Empty/whitespace-only docs keep a row: their one event is the
+    (\\x02,\\x02,\\x03) trigram.
+
+    Plan (the bigram_logprob discipline, one order up): ONE corpus
+    explode to trigram events, immediately pre-aggregated per
+    (doc, w1, w2, w3) — every later join is bounded by
+    distinct-trigrams-per-doc, not occurrences, so stopword-skewed
+    keys carry one row per doc. ALL five model tables (trigram
+    counts, trigram-context totals, bigram continuation counts,
+    bigram-context totals, unigram continuation counts) derive from
+    that single aggregate — the corpus is scanned once, and each
+    derivation is a map-side-combinable shrink of the previous
+    table. The continuation total N1+(..) is a 1-row broadcast. The
+    per-doc mean is the exact weighted mean sum(c*neglp)/sum(c).
+    Counts stay exact integers until the final float; round-4 output
+    for oracle comparison (ORACLES.md #5)."""
+    D = float(discount)
+    if not 0.0 < D < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    tk = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    padded = F.concat(
+        F.array(F.lit("\x02"), F.lit("\x02")), tk, F.array(F.lit("\x03"))
+    )
+    z = F.arrays_zip(
+        F.slice(padded, 1, F.size(padded) - 2),
+        F.slice(padded, 2, F.size(padded) - 2),
+        F.slice(padded, 3, F.size(padded) - 2),
+    )
+    tgc = (
+        docs.select(F.col(id_col), F.explode(z).alias("z"))
+        .select(
+            id_col,
+            F.col("z.0").alias("w1"),
+            F.col("z.1").alias("w2"),
+            F.col("z.2").alias("w3"),
+        )
+        .groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count("*").alias("__c"))
+    )
+    c3 = tgc.groupBy("w1", "w2", "w3").agg(F.sum("__c").alias("c3"))
+    ctx3 = c3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2ctx"), F.count("*").alias("f3")
+    )
+    m2 = c3.groupBy("w2", "w3").agg(F.count("*").alias("m2"))
+    ctx2 = m2.groupBy("w2").agg(
+        F.sum("m2").alias("m2ctx"), F.count("*").alias("f2")
+    )
+    m1 = m2.groupBy("w3").agg(F.count("*").alias("m1"))
+    total = F.broadcast(m1.agg(F.sum("m1").cast("double").alias("__M")))
+
+    p1 = F.col("m1") / F.col("__M")
+    p2 = (
+        F.greatest(F.col("m2") - D, F.lit(0.0)) / F.col("m2ctx")
+        + D * F.col("f2") / F.col("m2ctx") * p1
+    )
+    p3 = (
+        F.greatest(F.col("c3") - D, F.lit(0.0)) / F.col("c2ctx")
+        + D * F.col("f3") / F.col("c2ctx") * p2
+    )
+    neg_lp = -F.log(p3)
+    return (
+        tgc.join(c3, ["w1", "w2", "w3"])
+        .join(ctx3, ["w1", "w2"])
+        .join(m2, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(m1, "w3")
+        .crossJoin(total)
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_trigrams"),
+            F.round(
+                F.sum(F.col("__c") * neg_lp) / F.sum("__c"), 4
+            ).alias("mean_neg_logprob_kn"),
+        )
+    )

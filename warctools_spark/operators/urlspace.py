@@ -111,3 +111,137 @@ def url_templates(
         )
         .where(F.col("n_urls") >= min_urls)
     )
+
+
+# --------------------------------------------------------------- SURT
+
+# path+query (fragment dropped) after the authority; '' for bare
+# authority urls — surt_key coalesces that to '/'
+_PATHQ_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)"
+# a reversible SURT host: dot-separated dns labels only. IPv6
+# literals ('[::1]') and other junk fail this and are out of scope —
+# dot-reversal is meaningless for them.
+_DNS_HOST_RE = "^[a-z0-9._-]+$"
+
+
+def surt_key(url) -> "F.Column":
+    """Sort-friendly URI Reordering Transform key (the Internet
+    Archive convention used by Heritrix scoping and CDX indexes:
+    crawler.archive.org SURT docs; also pywb/surt):
+
+        http://www.Example.com:80/a/b?q=1#frag
+          -> 'com,example,www)/a/b?q=1'
+
+    Host lowercased, userinfo/port stripped, labels reversed and
+    comma-joined, then ')' and the path+query (fragment dropped;
+    empty path -> '/'). Path/query case is preserved — servers are
+    case-sensitive there; only the host is case-folded. Divergences
+    from pywb's full canonicalizer (port retention, %-case folding,
+    query sorting) are intentional: this is the SCOPE key, and it
+    composes with kernels/canon.py for fetch identity.
+
+    Pure Catalyst (regexp_extract/split/reverse/array_join) with
+    RE2-portable regexes, so a DuckDB oracle can compute the very
+    same expression. Non-DNS hosts yield '' (gate with
+    `surt_key(url) != ''`).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, _HOST_RE, 1)), r"^\.+|\.+$", ""
+    )
+    pathq = F.regexp_extract(u, _PATHQ_RE, 1)
+    return F.when(
+        host.rlike(_DNS_HOST_RE),
+        F.concat(
+            F.array_join(F.reverse(F.split(host, r"\.")), ","),
+            F.lit(")"),
+            F.when(pathq == "", F.lit("/")).otherwise(pathq),
+        ),
+    ).otherwise(F.lit(""))
+
+
+def scope_prefixes(seeds: DataFrame, mode: str = "prefix") -> DataFrame:
+    """Seed urls -> SURT scope prefixes, per Heritrix's scoping rules
+    (crawler.archive.org: SurtPrefixedDecideRule / 'implied prefix'):
+
+      mode='prefix'  the seed's surt truncated to its directory —
+                     full surt if the path ends '/', else everything
+                     up to and including the last '/' (which also
+                     drops any query). Seed http://a.com/d/p.html
+                     scopes com,a)/d/ and below.
+      mode='host'    exactly the seed's host, any path:
+                     'com,a,www)' — the ')' makes the boundary exact.
+      mode='domain'  the seed's host (leading 'www.' stripped) and
+                     every subdomain: TWO prefixes per seed,
+                     'com,a)' and 'com,a,' — the separator chars make
+                     label boundaries exact, so 'com,another' never
+                     matches. (No public-suffix list in this
+                     environment; the seed host itself is the domain
+                     anchor, as Heritrix does without its PSL.)
+
+    Output: (prefix) distinct, seed-sized. Seeds with non-DNS hosts
+    are dropped.
+    """
+    u = F.col(seeds.columns[0])
+    surt = surt_key(u)
+    host_rev = F.element_at(F.split(surt, r"\)"), 1)
+    if mode == "prefix":
+        # query dropped before directory truncation ('?' never
+        # starts a directory), then cut after the last '/'
+        pref = seeds.select(
+            F.regexp_replace(
+                F.element_at(F.split(surt, r"\?"), 1), "[^/]*$", ""
+            ).alias("prefix")
+        )
+    elif mode == "host":
+        pref = seeds.select(F.concat(host_rev, F.lit(")")).alias("prefix"))
+    elif mode == "domain":
+        dom = F.regexp_replace(host_rev, "(,www)+$", "")
+        pref = seeds.select(
+            F.explode(
+                F.array(F.concat(dom, F.lit(")")), F.concat(dom, F.lit(",")))
+            ).alias("prefix")
+        )
+    else:
+        raise ValueError(f"unknown scope mode {mode!r}")
+    # seeds whose surt is '' (non-DNS host) reduce to a bare
+    # separator — never a valid scope
+    return pref.where(
+        ~F.col("prefix").isin("", ")", ",")
+    ).distinct()
+
+
+def scope_filter(
+    df: DataFrame,
+    seeds,
+    mode: str = "prefix",
+    url_col: str = "url",
+    keep_surt: bool = False,
+) -> DataFrame:
+    """Keep only candidates inside the seeds' crawl scope — the gate
+    between link harvest and the frontier (Heritrix's DecideRule
+    chain; Mercator's 'URL filter' stage). `seeds` is a list of urls
+    or a single-column DataFrame.
+
+    Plan: the prefix table is seed-sized -> broadcast; the match is a
+    broadcast left-semi (nested-loop on startswith), so the candidate
+    side streams with NO shuffle at any scale. Cost is
+    O(|prefixes|) cheap prefix compares per candidate row — fine for
+    the usual 10^2..10^4 seed lists; for larger seed sets pre-group
+    prefixes by first label and join on that key first. Candidates
+    whose url has a non-DNS host are never in scope (surt '').
+    """
+    if not isinstance(seeds, DataFrame):
+        seeds = df.sparkSession.createDataFrame(
+            [(str(s),) for s in seeds], "seed_url string"
+        )
+    pref = scope_prefixes(seeds, mode)
+    out = df.withColumn("__surt", surt_key(url_col))
+    kept = out.join(
+        F.broadcast(pref),
+        out["__surt"].startswith(F.col("prefix")),
+        "left_semi",
+    )
+    if keep_surt:
+        return kept.withColumnRenamed("__surt", "surt")
+    return kept.drop("__surt")
