@@ -1196,3 +1196,138 @@ def test_kneser_ney_matches_duckdb_replay_and_normalizes(spark, docs):
     assert len(norm) == 3
     for _, _, s in norm:
         assert abs(s - 1.0) < 1e-9
+
+
+# --------------------------------------------------------- change_rate
+
+
+def test_change_rate_toy_semantics(spark):
+    import math
+
+    from warctools_spark.operators.frontier import change_rate
+
+    def t(s):
+        from datetime import datetime, timedelta
+
+        return datetime(2026, 1, 1) + timedelta(seconds=s)
+
+    cap = 30 * 24 * 3600 * 1_000_000
+    rows = [
+        # A: 4 fetches, 100 s apart, one digest flip -> n=3, X=1
+        ("A", t(0), "d1"), ("A", t(100), "d1"),
+        ("A", t(200), "d2"), ("A", t(300), "d2"),
+        # B: single observation
+        ("B", t(0), "d1"),
+        # C: always changed (X = n) stays finite via the +0.5
+        ("C", t(0), "d1"), ("C", t(10), "d2"), ("C", t(20), "d3"),
+        # D: never changed -> rate exactly 0, due at the cap
+        ("D", t(0), "d1"), ("D", t(50), "d1"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, digest string")
+    got = {r.url: r for r in change_rate(df).collect()}
+    base_us = got["B"].next_due_us - cap  # t(0) in epoch micros
+
+    lamA = -math.log((3 - 1 + 0.5) / 3.5) / 1e8
+    assert got["A"].n_obs == 4 and got["A"].n_intervals == 3
+    assert got["A"].n_changes == 1
+    assert got["A"].rate_per_hour == round(lamA * 3.6e9, 6)
+    assert got["A"].next_due_us == base_us + 300_000_000 + math.floor(1 / lamA)
+
+    assert got["B"].n_obs == 1 and got["B"].n_intervals == 0
+    assert got["B"].rate_per_hour == 0.0
+
+    lamC = -math.log(0.5 / 2.5) / 1e7
+    assert got["C"].n_changes == 2
+    assert got["C"].rate_per_hour == round(lamC * 3.6e9, 6)
+
+    assert got["D"].rate_per_hour == 0.0
+    assert got["D"].next_due_us == base_us + 50_000_000 + cap
+
+
+def test_change_rate_partitioning_invariant(spark):
+    from warctools_spark.operators.frontier import change_rate
+
+    from datetime import datetime, timedelta
+
+    rows = [
+        (
+            "u%d" % (i % 17),
+            datetime(2026, 1, 1) + timedelta(seconds=i * 37),
+            "d%d" % ((i * i) % 5),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, digest string")
+    a = sorted(map(tuple, change_rate(df).collect()))
+    b = sorted(map(tuple, change_rate(df.repartition(11)).collect()))
+    assert a == b
+
+
+def test_change_rate_matches_duckdb_replay(spark):
+    from warctools_spark.operators.frontier import change_rate
+
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    obs = ev.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit("/p"),
+            (F.col("user_id") % 97).cast("string"),
+        ).alias("url"),
+        F.col("ts"),
+        F.col("event_type").alias("digest"),
+    )
+    got = {tuple(r) for r in change_rate(obs).collect()}
+
+    cap = 30 * 24 * 3600 * 1_000_000
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TEMP TABLE events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH obs AS (
+              SELECT concat('http://h', CAST(user_id % 50 AS VARCHAR),
+                            '/p', CAST(user_id % 97 AS VARCHAR)) AS url,
+                     epoch_us(ts) AS us, event_type AS digest
+              FROM events
+            ), seq AS (
+              SELECT url, us, digest,
+                     lag(us) OVER w AS prev_us,
+                     lag(digest) OVER w AS prev_d
+              FROM obs
+              WINDOW w AS (PARTITION BY url ORDER BY us, digest)
+            ), base AS (
+              SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+                     max(us) AS last_us
+              FROM seq GROUP BY url
+            ), iv AS (
+              SELECT url, CAST(count(*) AS BIGINT) AS n_intervals,
+                     CAST(sum(CASE WHEN digest IS DISTINCT FROM prev_d
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                     CAST(sum(us - prev_us) AS BIGINT) AS sum_gap
+              FROM seq WHERE prev_us IS NOT NULL GROUP BY url
+            ), j AS (
+              SELECT b.url, b.n_obs,
+                     COALESCE(i.n_intervals, 0) AS n_intervals,
+                     COALESCE(i.n_changes, 0) AS n_changes,
+                     b.last_us, i.sum_gap,
+                     -ln((CAST(i.n_intervals AS DOUBLE) - i.n_changes + 0.5)
+                         / (i.n_intervals + 0.5))
+                       * i.n_intervals / CAST(i.sum_gap AS DOUBLE) AS lam
+              FROM base b LEFT JOIN iv i USING (url)
+            )
+            SELECT url, n_obs, n_intervals, n_changes,
+                   ROUND(CASE WHEN sum_gap > 0 THEN lam ELSE 0.0 END
+                         * 3.6e9, 6) AS rate_per_hour,
+                   CAST(last_us + CASE
+                     WHEN n_changes > 0 AND sum_gap > 0
+                     THEN LEAST({cap}, CAST(floor(1.0 / lam) AS BIGINT))
+                     ELSE {cap} END AS BIGINT) AS next_due_us
+            FROM j
+            """
+        ).fetchall()
+    }
+    assert len(got) >= 10 and got == want
