@@ -1331,3 +1331,211 @@ def test_change_rate_matches_duckdb_replay(spark):
         ).fetchall()
     }
     assert len(got) >= 10 and got == want
+
+
+# ------------------------------------------------------------------ hits
+
+
+def test_hits_toy_semantics(spark):
+    from warctools_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1")],
+        "src_host string, dst_host string",
+    )
+    got = {r.node: r for r in hits(e, n_iter=8).collect()}
+    assert set(got) == {"h1", "h2", "a1", "a2"}
+    # pure sources have authority exactly 0; pure sinks hub exactly 0
+    assert got["h1"].authority == 0.0 and got["h2"].authority == 0.0
+    assert got["a1"].hub == 0.0 and got["a2"].hub == 0.0
+    # the two-link hub beats the one-link hub; ditto authorities
+    assert got["h1"].hub > got["h2"].hub > 0
+    assert got["a1"].authority > got["a2"].authority > 0
+    # L1 normalization: each score family sums to ~1
+    assert abs(sum(r.hub for r in got.values()) - 1.0) < 1e-4
+    assert abs(sum(r.authority for r in got.values()) - 1.0) < 1e-4
+    with pytest.raises(ValueError):
+        hits(e, n_iter=0)
+
+
+def test_hits_partitioning_invariant(spark):
+    from warctools_spark.operators.graph import hits
+
+    e = _toy_edges(spark)
+    a = sorted(map(tuple, hits(e, weight_col="w").collect()))
+    b = sorted(map(tuple, hits(e.repartition(7), weight_col="w").collect()))
+    assert a == b
+
+
+def test_hits_matches_duckdb_replay(spark, docs):
+    from warctools_spark.operators.graph import hits
+
+    n_iter = 10
+    got = {
+        tuple(r)
+        for r in hits(_synth_edges(docs), n_iter=n_iter, weight_col="n_links").collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    con.execute(f"CREATE TEMP TABLE edges AS {_EDGES_SQL}")
+    con.execute(
+        """CREATE TEMP TABLE e AS
+           SELECT src_host AS src, dst_host AS dst, SUM(n_links) AS w
+           FROM edges GROUP BY 1, 2"""
+    )
+    con.execute(
+        """CREATE TEMP TABLE nodes AS
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM e UNION SELECT dst FROM e)"""
+    )
+    n = con.execute("SELECT COUNT(*) FROM nodes").fetchone()[0]
+    con.execute(
+        f"CREATE TEMP TABLE hub AS SELECT node, ROUND(1.0 / {n}, 12) AS hub FROM nodes"
+    )
+    for _ in range(n_iter):
+        con.execute(
+            """CREATE OR REPLACE TEMP TABLE auth AS
+            WITH s AS (
+              SELECT e.dst AS node, SUM(h.hub * e.w) AS authority
+              FROM e JOIN hub h ON h.node = e.src GROUP BY e.dst
+            ), tot AS (SELECT SUM(authority) AS S FROM s)
+            SELECT n.node,
+                   ROUND(COALESCE(s.authority, 0.0) / (SELECT S FROM tot), 12)
+                     AS authority
+            FROM nodes n LEFT JOIN s ON s.node = n.node"""
+        )
+        con.execute(
+            """CREATE OR REPLACE TEMP TABLE hub AS
+            WITH s AS (
+              SELECT e.src AS node, SUM(a.authority * e.w) AS hub
+              FROM e JOIN auth a ON a.node = e.dst GROUP BY e.src
+            ), tot AS (SELECT SUM(hub) AS S FROM s)
+            SELECT n.node,
+                   ROUND(COALESCE(s.hub, 0.0) / (SELECT S FROM tot), 12) AS hub
+            FROM nodes n LEFT JOIN s ON s.node = n.node"""
+        )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            """SELECT h.node, ROUND(h.hub, 6), ROUND(a.authority, 6)
+               FROM hub h JOIN auth a ON a.node = h.node"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+# ------------------------------------------------------------------ cdxj
+
+
+def _toy_cdx(spark):
+    rows = [
+        ("http://www.Ex.com/a?q=1#frag", "20260101000001", "text/html",
+         200, "d1", 10),
+        ('http://ex.com/we"ird\\path', "20260101000002", 'text/"x"',
+         404, "d2", 0),
+        ("junk-no-scheme", "20260101000003", "text/html", 200, "d3", 5),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "original string, ts14 string, mime string, status int,"
+        " digest string, length int",
+    )
+
+
+def test_cdxj_lines_semantics(spark):
+    from warctools_spark.operators.archive_ops import cdxj_lines
+
+    got = {r.urlkey: r for r in cdxj_lines(_toy_cdx(spark)).collect()}
+    # non-DNS host dropped; query kept in the key, fragment dropped
+    assert set(got) == {"com,ex,www)/a?q=1", 'com,ex)/we"ird\\path'}
+    assert got["com,ex,www)/a?q=1"].line == (
+        'com,ex,www)/a?q=1 20260101000001 {"digest":"d1","length":10,'
+        '"mime":"text/html","status":200,'
+        '"url":"http://www.Ex.com/a?q=1#frag"}'
+    )
+    # '\' and '"' escaped in BOTH url and mime; the block stays JSON
+    import json as _json
+
+    weird = got['com,ex)/we"ird\\path'].line.split(" ", 2)[2]
+    parsed = _json.loads(weird)
+    assert parsed["url"] == 'http://ex.com/we"ird\\path'
+    assert parsed["mime"] == 'text/"x"' and parsed["status"] == 404
+
+
+def test_cdxj_lines_plan_jvm_only(spark):
+    from warctools_spark.operators.archive_ops import cdxj_lines
+
+    plan = (
+        cdxj_lines(_toy_cdx(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_cdxj_lines_matches_duckdb_replay(spark, docs):
+    from warctools_spark.operators.archive_ops import cdxj_lines
+    from warctools_spark.operators.urlspace import _HOST_RE, _PATHQ_RE
+
+    # synthesized cdx-like table from the documents corpus, with a
+    # few adversarial urls mixed in
+    idx = docs.select(
+        F.concat(
+            F.lit("http://H"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit('?q="x\\y"#f')).otherwise(
+                F.lit("")
+            ),
+        ).alias("original"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 14, "0").alias("ts14"),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).alias(
+            "digest"
+        ),
+        (F.col("doc_id") % 1000).cast("int").alias("length"),
+    )
+    got = {tuple(r) for r in cdxj_lines(idx).collect()}
+
+    con = duckdb.connect()
+    con.register("docs", docs.select("doc_id").toPandas())
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH idx AS (
+              SELECT concat('http://H', CAST(doc_id % 7 AS VARCHAR),
+                            '.Example.com/d/', CAST(doc_id AS VARCHAR),
+                            CASE WHEN doc_id % 5 = 0
+                                 THEN '?q="x\\y"#f' ELSE '' END) AS original,
+                     lpad(CAST(doc_id % 100 AS VARCHAR), 14, '0') AS ts14,
+                     'text/html' AS mime, 200 AS status,
+                     sha256(CAST(doc_id AS VARCHAR)) AS digest,
+                     CAST(doc_id % 1000 AS INT) AS length
+              FROM docs
+            ), s AS (
+              SELECT *,
+                     regexp_replace(lower(regexp_extract(original,
+                         '{_HOST_RE}', 1)), '^\\.+|\\.+$', '', 'g') AS h,
+                     regexp_extract(original, '{_PATHQ_RE}', 1) AS pq
+              FROM idx
+            ), k AS (SELECT *, {_SURT_SQL} AS urlkey FROM s)
+            SELECT urlkey, ts14,
+                   urlkey || ' ' || ts14 || ' {{"digest":"' || digest
+                   || '","length":' || CAST(length AS VARCHAR)
+                   || ',"mime":"'
+                   || replace(replace(mime, '\\', '\\\\'), '"', '\\"')
+                   || '","status":' || CAST(status AS VARCHAR)
+                   || ',"url":"'
+                   || replace(replace(original, '\\', '\\\\'), '"', '\\"')
+                   || '"}}' AS line
+            FROM k WHERE urlkey <> ''
+            """
+        ).fetchall()
+    }
+    assert len(got) == docs.count() and got == want

@@ -334,3 +334,60 @@ def revisit_records(pages: DataFrame) -> DataFrame:
         .otherwise(F.col("k.url"))
         .alias("refers_to_url"),
     )
+
+
+def cdxj_lines(idx: DataFrame) -> DataFrame:
+    """CDX(J) index lines in the OpenWayback CDXJ convention
+    (iipc OpenWayback CDXJ file-format spec, public):
+
+        <urlkey> <ts14> {"digest":...,"length":...,"mime":...,
+                         "status":...,"url":...}
+
+    over a `cdx_index` output table (columns original, ts14, mime,
+    status, digest, length). The urlkey is urlspace.surt_key of the
+    original url — lowercased host, query KEPT, fragment dropped —
+    the modern replay key (cdx_index's own `urlkey` column is the
+    legacy path-only form and is ignored here). The JSON block is
+    built with plain Catalyst string concatenation, keys in sorted
+    order and `\\` / `"` escaped, so the BYTES are engine-exact and a
+    SQL oracle can rebuild them verbatim — no to_json (whose
+    whitespace/quoting is an engine detail). Rows whose url has a
+    non-DNS host (surt '') are dropped: they have no replay key.
+
+    Pure string expressions in one WholeStageCodegen span — no
+    Python, no shuffle; a CDXJ file writer sorts by (urlkey, ts14)
+    at write time (binary-search replay needs the sort, the lines
+    don't)."""
+    from warctools_spark.operators.urlspace import surt_key
+
+    def esc(c):
+        return F.replace(
+            F.replace(c, F.lit("\\"), F.lit("\\\\")),
+            F.lit('"'),
+            F.lit('\\"'),
+        )
+
+    key = surt_key(F.col("original"))
+    js = F.concat(
+        F.lit('{"digest":"'),
+        F.col("digest"),
+        F.lit('","length":'),
+        F.col("length").cast("string"),
+        F.lit(',"mime":"'),
+        esc(F.col("mime")),
+        F.lit('","status":'),
+        F.col("status").cast("string"),
+        F.lit(',"url":"'),
+        esc(F.col("original")),
+        F.lit('"}'),
+    )
+    return (
+        idx.where(key != "")
+        .select(
+            key.alias("urlkey"),
+            F.col("ts14"),
+            F.concat(key, F.lit(" "), F.col("ts14"), F.lit(" "), js).alias(
+                "line"
+            ),
+        )
+    )

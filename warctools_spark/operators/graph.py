@@ -238,3 +238,106 @@ def trustrank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round(F.col("pr"), round_final).alias("trustrank"))
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 10,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = None,
+    round_iter: int = 12,
+    round_final: int = 6,
+) -> DataFrame:
+    """Hubs and authorities (Kleinberg, JACM 1999 — HITS): the
+    mutually recursive pair
+
+        auth_{t+1}(v) = sum_{u->v} w(u,v) * hub_t(u)
+        hub_{t+1}(u)  = sum_{u->v} w(u,v) * auth_{t+1}(v)
+
+    each L1-normalized (sum = 1) after its update. For a crawl
+    scheduler the two scores split pagerank's single signal: good
+    HUBS (directories, feeds, sitemaps-of-links) are where frontier
+    expansion pays off; good AUTHORITIES are what deserves content
+    budget. Output: (node, hub, authority), one row per node;
+    sourceless nodes have authority 0, sinkless nodes hub 0 — both
+    exactly, never NULL.
+
+    Same shape and determinism contract as `pagerank`: fixed
+    iteration count, per-iteration ROUND(round_iter) so the
+    trajectory is partitioning/engine-exact, localCheckpoint per step
+    for O(1) lineage. Each iteration is TWO map-side-combined
+    shuffles (one per direction) and two 1-row broadcast
+    normalizers. No reference counterpart; cited from the public
+    paper only."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            w.alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        total = F.broadcast(
+            scores.agg(F.sum(col).cast("double").alias("__S"))
+        )
+        return (
+            nodes.join(scores, "node", "left")
+            .crossJoin(total)
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col(col), F.lit(0.0)) / F.col("__S"),
+                    round_iter,
+                ).alias(col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hub = nodes.select("node", F.lit(round(1.0 / n, round_iter)).alias("hub"))
+    auth = None
+    for _ in range(n_iter):
+        auth = _norm(
+            e.join(hub, e.src == hub.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("hub") * F.col("w")).alias("authority"))
+            .withColumnRenamed("dst", "node"),
+            "authority",
+        )
+        hub = _norm(
+            e.join(auth, e.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum(F.col("authority") * F.col("w")).alias("hub"))
+            .withColumnRenamed("src", "node"),
+            "hub",
+        )
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            F.round(F.col("hub"), round_final).alias("hub"),
+            F.round(F.col("authority"), round_final).alias("authority"),
+        )
+    )
