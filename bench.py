@@ -232,6 +232,61 @@ def q_ngram_novelty(spark, pages_path):
     return ngram_novelty(docs).count()
 
 
+def q_kneser_ney(spark, pages_path):
+    """Extra measurement: per-doc interpolated Kneser-Ney trigram
+    fluency (one trigram explode + five derived model tables)."""
+    from warctools_spark.operators.text_analysis import kneser_ney_logprob
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    return kneser_ney_logprob(docs).count()
+
+
+def _synth_host_edges(spark):
+    from warctools_spark.sources.pages import host_expr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    return (
+        docs.select(
+            host_expr(F.col("doc_id")).alias("src_host"),
+            host_expr((F.col("doc_id") * 31 + 7) % n).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("double").alias("n_links"))
+    )
+
+
+def q_hits(spark, pages_path):
+    """Extra measurement: 10 HITS iterations over the synthesized
+    host graph (two shuffles + two broadcast normalizers each)."""
+    from warctools_spark.operators.graph import hits
+
+    return hits(_synth_host_edges(spark), n_iter=10, weight_col="n_links").count()
+
+
+def q_trustrank(spark, pages_path):
+    """Extra measurement: 10 TrustRank iterations, seeded at the hot
+    host (one shuffle + dangling broadcast each)."""
+    from warctools_spark.operators.graph import trustrank
+
+    return trustrank(
+        _synth_host_edges(spark),
+        ["hot.example.com"],
+        n_iter=10,
+        weight_col="n_links",
+    ).count()
+
+
+def q_unigram_lm_train(spark, pages_path):
+    """Extra measurement: unigram-LM tokenizer training (seed + 2 EM
+    passes + prune + 2 EM passes over the corpus's word table)."""
+    from warctools_spark.operators.unigram_lm import unigram_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    vocab = unigram_train(docs, vocab_size=500, n_em=1)
+    return len(vocab)
+
+
 def main():
     from warctools_spark.session import get_spark
 
@@ -312,6 +367,10 @@ def main():
         ("ivf_kmeans_topk", q_ivf_kmeans, 3),
         ("dsir_weights", q_dsir_weights, 3),
         ("ngram_novelty", q_ngram_novelty, 3),
+        ("kneser_ney", q_kneser_ney, 3),
+        ("hits", q_hits, 3),
+        ("trustrank", q_trustrank, 3),
+        ("unigram_lm_train", q_unigram_lm_train, 3),
     ):
         results[name], extra_cold[name], extra[name], spreads[name] = timed(
             fn, pages_path, runs=runs

@@ -1539,3 +1539,44 @@ def test_cdxj_lines_matches_duckdb_replay(spark, docs):
         ).fetchall()
     }
     assert len(got) == docs.count() and got == want
+
+
+def test_write_cdxj_globally_sorted(spark, tmp_path, docs):
+    from warctools_spark.operators.archive_ops import cdxj_lines, write_cdxj
+
+    idx = docs.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("original"),
+        F.lpad((F.col("doc_id") % 97).cast("string"), 14, "0").alias("ts14"),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        F.lit("d").alias("digest"),
+        F.lit(1).alias("length"),
+    )
+    lines = cdxj_lines(idx.repartition(16))
+    dest = str(tmp_path / "cdxj")
+    parts = write_cdxj(lines, dest, n_shards=4)
+    assert len(parts) >= 2  # actually range-sharded
+    # concatenation of part files IN NAME ORDER is one sorted index
+    text = []
+    for p in sorted(parts):
+        with open(p.replace("file:", "")) as fh:
+            chunk = fh.read().splitlines()
+        assert chunk == sorted(chunk)  # sorted within
+        text.extend(chunk)
+    assert text == sorted(text)  # sorted across shard boundaries
+    assert len(text) == docs.count()
+    # the plan is a range exchange, not a single-reducer global sort
+    plan = (
+        lines.select(F.col("line").alias("value"))
+        .repartitionByRange(4, F.col("line"))
+        .sortWithinPartitions("value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()

@@ -391,3 +391,34 @@ def cdxj_lines(idx: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def write_cdxj(
+    lines: DataFrame, path: str, n_shards: int = 8
+) -> list[str]:
+    """Write CDXJ lines as a GLOBALLY sorted shard set — the layout
+    binary-search replay needs (OpenWayback's sorted .cdxj files;
+    also the ZipNum cluster convention of contiguous sorted shards):
+    repartitionByRange(urlkey, ts14) gives contiguous, sorted-BETWEEN
+    shards, sortWithinPartitions gives sorted-WITHIN, so the
+    concatenation of part files in name order is one sorted index —
+    no single-reducer global sort at any scale (the range exchange
+    samples keys and spreads rows ~evenly; a hot urlkey prefix
+    spreads by the ts14 second key).
+
+    Writes text part files via Spark's text sink (one column named
+    `value`). Returns the sorted list of part-file paths."""
+    out = (
+        lines.select(F.col("line").alias("value"))
+        .repartitionByRange(n_shards, F.col("line"))
+        .sortWithinPartitions("value")
+    )
+    out.write.mode("overwrite").text(path)
+    from warctools_spark.plans.fs import HadoopFS
+
+    fs = HadoopFS(lines.sparkSession, path)
+    return [
+        path.rstrip("/") + "/" + name
+        for name in fs.listdir(path)
+        if name.startswith("part-")
+    ]
