@@ -454,3 +454,86 @@ def test_stream_frontier_durable_expire_between_batches(
     assert replayed == sorted(f"{i:040x}" for i in range(30, 40))
     # replay did zero bloom work
     assert len(calls) == n_after_two + 1
+
+
+def test_track_change_rate_cg_equals_batch(spark, tmp_path):
+    """The streaming Cho & Garcia-Molina estimator folded across TWO
+    micro-batches must emit, as its final row per url, exactly the
+    batch change_rate output over the union of the observations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+    from datetime import datetime, timedelta
+
+    from warctools_spark.operators.frontier import change_rate
+    from warctools_spark.streaming.stateful import track_change_rate_cg
+
+    def ts(s):
+        return datetime(2026, 1, 1) + timedelta(seconds=s)
+
+    rows = []
+    for u in range(12):
+        url = "http://h%d.example.com/p" % u
+        for k in range(6):
+            rows.append(
+                (url, ts(u * 1000 + k * 97), "d%d" % ((u * k * k) % 3))
+            )
+    rows.append(("http://single.example.com/p", ts(5), "d0"))
+    # split BY TIME per url: first 3 observations -> batch 1
+    per_url = {}
+    for r in rows:
+        per_url.setdefault(r[0], []).append(r)
+    batch1, batch2 = [], []
+    for u_rows in per_url.values():
+        u_rows.sort(key=lambda r: r[1])
+        batch1.extend(u_rows[:3])
+        batch2.extend(u_rows[3:])
+
+    d = tmp_path / "obs"
+    d.mkdir()
+
+    def write(path, data):
+        tbl = pa.table(
+            {
+                "url": [r[0] for r in data],
+                "ts_us": [int(r[1].timestamp() * 1_000_000) for r in data],
+                "digest": [r[2] for r in data],
+            }
+        )
+        pq.write_table(tbl, path)
+
+    write(str(d / "b1.parquet"), batch1)
+    write(str(d / "b2.parquet"), batch2)
+    now = 1_800_000_000
+    os.utime(str(d / "b1.parquet"), (now, now))
+    os.utime(str(d / "b2.parquet"), (now + 100, now + 100))
+
+    stream = (
+        spark.readStream.schema("url string, ts_us long, digest string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        track_change_rate_cg(stream)
+        .writeStream.format("memory")
+        .queryName("cg_rate_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cg"))
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(q.recentProgress) > 1  # genuinely multiple micro-batches
+
+    out = spark.sql("SELECT * FROM cg_rate_test").collect()
+    final = {}
+    for r in out:
+        if r.url not in final or r.n_obs > final[r.url].n_obs:
+            final[r.url] = r
+    got = {u: tuple(r)[1:] for u, r in final.items()}
+
+    obs_df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows], "url string, ts timestamp, digest string"
+    )
+    want = {r.url: tuple(r)[1:] for r in change_rate(obs_df).collect()}
+    assert got == want

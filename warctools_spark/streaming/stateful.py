@@ -223,3 +223,101 @@ def track_change_rate(events: DataFrame, default_interval_us: int = 3600 * 1_000
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("sum_gap", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_digest", T.StringType()),
+    ]
+)
+
+CG_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("rate_per_hour", T.DoubleType()),
+        T.StructField("next_due_us", T.LongType()),
+    ]
+)
+
+
+def track_change_rate_cg(
+    obs: DataFrame, cap_us: int = 30 * 24 * 3600 * 1_000_000
+) -> DataFrame:
+    """Streaming twin of the BATCH `frontier.change_rate` operator
+    (Cho & Garcia-Molina bias-corrected Poisson estimator): per url,
+    GroupState carries (n_obs, n_intervals, n_changes, sum_gap,
+    last_us, last_digest) across micro-batches and each update emits
+    exactly the batch operator's output row — the two are EQUAL when
+    every url's observations arrive in timestamp order across batches
+    (pinned by test). Within a micro-batch rows are processed in
+    (ts_us, digest) order, matching the batch window's sort; an
+    observation arriving with ts earlier than the stored last_us is
+    still folded in arrival order — the standard streaming
+    late-data caveat, stated rather than hidden.
+
+    obs(url, ts_us, digest). Output mode: update."""
+    import math
+
+    def tracker(key, pdfs, state: GroupState):
+        (url,) = key
+        if state.exists:
+            n_obs, n_iv, n_ch, gap, last_us, last_d = state.get
+        else:
+            n_obs, n_iv, n_ch, gap, last_us, last_d = 0, 0, 0, 0, None, None
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(t), None if d is None else str(d))
+                for t, d in zip(pdf["ts_us"], pdf["digest"])
+            )
+        rows.sort(key=lambda r: (r[0], "" if r[1] is None else r[1]))
+        for ts, d in rows:
+            if n_obs > 0:
+                n_iv += 1
+                gap += ts - last_us
+                if d != last_d:
+                    n_ch += 1
+            n_obs += 1
+            last_us, last_d = ts, d
+        state.update((n_obs, n_iv, n_ch, gap, last_us, last_d))
+        if n_iv > 0 and gap > 0:
+            lam = (
+                -math.log((float(n_iv) - float(n_ch) + 0.5) / (float(n_iv) + 0.5))
+                * float(n_iv)
+                / float(gap)
+            )
+            rate = round(lam * 3.6e9, 6)
+        else:
+            lam, rate = 0.0, 0.0
+        if n_ch > 0 and gap > 0:
+            due = last_us + min(cap_us, math.floor(1.0 / lam))
+        else:
+            due = last_us + cap_us
+        yield pd.DataFrame(
+            [
+                {
+                    "url": url,
+                    "n_obs": n_obs,
+                    "n_intervals": n_iv,
+                    "n_changes": n_ch,
+                    "rate_per_hour": rate,
+                    "next_due_us": due,
+                }
+            ]
+        )
+
+    return obs.groupBy("url").applyInPandasWithState(
+        tracker,
+        outputStructType=CG_OUTPUT_SCHEMA,
+        stateStructType=CG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
