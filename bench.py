@@ -278,8 +278,8 @@ def q_trustrank(spark, pages_path):
 
 
 def q_unigram_lm_train(spark, pages_path):
-    """Extra measurement: unigram-LM tokenizer training (seed + 2 EM
-    passes + prune + 2 EM passes over the corpus's word table)."""
+    """Extra measurement: unigram-LM tokenizer training (seed, one EM
+    pass, prune, one EM pass over the corpus's word table)."""
     from warctools_spark.operators.unigram_lm import unigram_train
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)

@@ -1,12 +1,14 @@
-"""Round-6 registration candidates: host-graph PageRank, BM25 ranked
-retrieval, vocab coverage, HLL overlap, WAT sidecar metadata, sitemap
-parsing, and URL path-template mining. The 50-entry certification
-window is saturated this
-round (95 = 50 in-window + 45 r04-certified tail), so these ship with
-oracle-GRADE evidence locally — each test replays the exact
-computation in DuckDB and compares the full value multiset — and get
-their queries()/oracle_sql() entries when window capacity opens in
-round 6."""
+"""Staged registration candidates, built and oracle-grade tested
+ahead of their queries()/oracle_sql() slots (the 50-entry
+certification window rotates ~5 new entries per round): host-graph
+PageRank, TrustRank, HITS, BM25 retrieval, vocab coverage, HLL
+overlap, WAT sidecars, sitemap parsing, URL path templates, SURT
+crawl scoping, Kneser-Ney fluency, per-URL change-rate estimation,
+and CDXJ emit + sorted-shard writing. Each SQL-expressible candidate
+is replayed in DuckDB and compared on the full value multiset;
+iterative/stateful ones (see test_unigram_lm.py, test_cdc.py,
+test_policy.py for the rest of the staged set) carry
+independent-reference or property evidence instead."""
 
 import duckdb
 import pytest
@@ -935,6 +937,7 @@ def test_surt_key_semantics(spark):
     cases = [
         ("http://www.Example.com:8080/A/b?Q=1#f", "com,example,www)/A/b?Q=1"),
         ("https://example.com", "com,example)/"),
+        ("http://a.com?q=1", "com,a)/?q=1"),
         ("http://user:pw@a.b.c/x", "c,b,a)/x"),
         ("http://example.com./x", "com,example)/x"),
         ("http://[::1]/x", ""),
@@ -1022,7 +1025,9 @@ def test_scope_filter_plan_broadcast_no_python(spark):
 _SURT_SQL = """
     CASE WHEN regexp_matches(h, '^[a-z0-9._-]+$')
          THEN array_to_string(list_reverse(string_split(h, '.')), ',')
-              || ')' || CASE WHEN pq = '' THEN '/' ELSE pq END
+              || ')' || CASE WHEN pq = '' THEN '/'
+                             WHEN pq LIKE '?%' THEN '/' || pq
+                             ELSE pq END
          ELSE '' END
 """
 
@@ -1580,3 +1585,50 @@ def test_write_cdxj_globally_sorted(spark, tmp_path, docs):
         .toString()
     )
     assert "rangepartitioning" in plan.lower()
+
+
+def test_cdxj_lines_null_and_control_tolerance(spark):
+    """Undecodable payloads (null mime/status/digest) keep an index
+    entry with CDX placeholders instead of a NULL line; control chars
+    in the url are JSON-escaped or stripped so the line-oriented
+    format survives."""
+    import json as _json
+
+    from warctools_spark.operators.archive_ops import cdxj_lines
+
+    rows = [
+        ("http://a.com/undecodable", "20260101000009", None, None, None, None),
+        ("http://a.com/ctl\npath\tx", "20260101000010", "text/html", 200, "d", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "original string, ts14 string, mime string, status int,"
+        " digest string, length int",
+    )
+    got = {r.urlkey: r.line for r in cdxj_lines(df).collect()}
+    assert None not in got.values()
+    nul = got["com,a)/undecodable"]
+    assert nul == (
+        'com,a)/undecodable 20260101000009 {"digest":"-","length":0,'
+        '"mime":"-","status":0,"url":"http://a.com/undecodable"}'
+    )
+    ctl = got["com,a)/ctlpathx"]
+    assert "\n" not in ctl and "\t" not in ctl  # one physical line
+    parsed = _json.loads(ctl.split(" ", 2)[2])
+    assert parsed["url"] == "http://a.com/ctl\npath\tx"
+
+
+def test_change_rate_drops_null_timestamps(spark):
+    from datetime import datetime, timedelta
+
+    from warctools_spark.operators.frontier import change_rate
+
+    def t(s):
+        return datetime(2026, 1, 1) + timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [("A", t(0), "d1"), ("A", None, "dX"), ("A", t(100), "d2")],
+        "url string, ts timestamp, digest string",
+    )
+    row = change_rate(df).collect()[0]
+    assert row.n_obs == 2 and row.n_intervals == 1 and row.n_changes == 1

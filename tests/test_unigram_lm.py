@@ -147,9 +147,15 @@ def _ref_train(
             for p, c in _brute_expected(w, model, max_piece_len).items():
                 acc[p] = acc.get(p, 0.0) + c * f
         z = sum(acc[p] for p in sorted(acc))
-        return {
+        new = {
             p: round(math.log(c / z), 9) for p, c in acc.items() if c > 0.0
         }
+        # the operator's single-char underflow floor, mirrored
+        floor = round(min(new.values()) - 10.0, 9) if new else -10.0
+        for p in model:
+            if len(p) == 1 and p not in new:
+                new[p] = floor
+        return new
 
     for _ in range(n_em):
         model = em(model)

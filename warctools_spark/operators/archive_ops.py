@@ -354,6 +354,15 @@ def cdxj_lines(idx: DataFrame) -> DataFrame:
     whitespace/quoting is an engine detail). Rows whose url has a
     non-DNS host (surt '') are dropped: they have no replay key.
 
+    Null-tolerant: undecodable payloads reach cdx_index with null
+    mime/status/digest (the decode kernel's failure contract); those
+    rows keep their index entry with the CDX placeholder '-' (mime,
+    digest), status 0 and length 0 — a NULL would otherwise swallow
+    the whole concat and the text sink would write a blank line into
+    a sorted index. Escaping covers `\\`, `"` and the JSON-mandatory
+    control range: \\n \\r \\t named, remaining 0x00-0x1f stripped
+    (same regex class in RE2 and Java, so the oracle replays it).
+
     Pure string expressions in one WholeStageCodegen span — no
     Python, no shuffle; a CDXJ file writer sorts by (urlkey, ts14)
     at write time (binary-search replay needs the sort, the lines
@@ -361,34 +370,55 @@ def cdxj_lines(idx: DataFrame) -> DataFrame:
     from warctools_spark.operators.urlspace import surt_key
 
     def esc(c):
-        return F.replace(
-            F.replace(c, F.lit("\\"), F.lit("\\\\")),
-            F.lit('"'),
-            F.lit('\\"'),
+        named = F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(c, F.lit("\\"), F.lit("\\\\")),
+                        F.lit('"'),
+                        F.lit('\\"'),
+                    ),
+                    F.lit("\n"),
+                    F.lit("\\n"),
+                ),
+                F.lit("\r"),
+                F.lit("\\r"),
+            ),
+            F.lit("\t"),
+            F.lit("\\t"),
         )
+        return F.regexp_replace(named, r"[\x00-\x1f]", "")
 
-    key = surt_key(F.col("original"))
+    # the KEY itself must be one field of a space-separated line:
+    # control chars stripped, raw spaces percent-encoded (the pywb
+    # canonicalizer convention for junk harvested urls)
+    key = F.replace(
+        F.regexp_replace(
+            surt_key(F.col("original")), r"[\x00-\x1f]", ""
+        ),
+        F.lit(" "),
+        F.lit("%20"),
+    )
     js = F.concat(
         F.lit('{"digest":"'),
-        F.col("digest"),
+        F.coalesce(F.col("digest"), F.lit("-")),
         F.lit('","length":'),
-        F.col("length").cast("string"),
+        F.coalesce(F.col("length").cast("string"), F.lit("0")),
         F.lit(',"mime":"'),
-        esc(F.col("mime")),
+        esc(F.coalesce(F.col("mime"), F.lit("-"))),
         F.lit('","status":'),
-        F.col("status").cast("string"),
+        F.coalesce(F.col("status").cast("string"), F.lit("0")),
         F.lit(',"url":"'),
         esc(F.col("original")),
         F.lit('"}'),
     )
+    ts = F.coalesce(F.col("ts14"), F.lit("00000000000000"))
     return (
         idx.where(key != "")
         .select(
             key.alias("urlkey"),
-            F.col("ts14"),
-            F.concat(key, F.lit(" "), F.col("ts14"), F.lit(" "), js).alias(
-                "line"
-            ),
+            ts.alias("ts14"),
+            F.concat(key, F.lit(" "), ts, F.lit(" "), js).alias("line"),
         )
     )
 

@@ -132,8 +132,9 @@ def cdc_chunks(
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} long, chunk_ix int, offset long, length long,"
+        f"{id_col} {id_type}, chunk_ix int, offset long, length long,"
         " digest string"
     )
     return df.select(id_col, data_col).mapInPandas(part, schema)

@@ -409,6 +409,10 @@ def change_rate(
     #5). Microsecond arithmetic matches recrawl_priority's
     convention so the two schedules compose."""
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # null-timestamp observations carry no interval information and
+    # would sort arbitrarily into the lag window — dropped here, and
+    # the streaming twin (track_change_rate_cg) drops them identically
+    obs = obs.where(F.col(ts_col).isNotNull())
     w = Window.partitionBy(url_col).orderBy(us, F.col(digest_col))
     seq = obs.select(
         F.col(url_col).alias("url"),

@@ -240,11 +240,21 @@ def unigram_train(
             key=lambda r: r["piece"],
         )  # fixed fold order for the driver-side total
         z = float(sum(r["c"] for r in sums))
-        return {
+        new = {
             r["piece"]: round(math.log(r["c"] / z), 9)
             for r in sums
             if r["c"] > 0.0
         }
+        # coverage floor: a single char whose every posterior
+        # underflowed exp() to exactly 0.0 (pathological 100+-char
+        # tokens) must not vanish mid-training, or words containing
+        # it become unsegmentable for every later E-step; re-add at
+        # a deterministic floor below the smallest surviving piece
+        floor = round(min(new.values()) - 10.0, 9) if new else -10.0
+        for p in snapshot:
+            if len(p) == 1 and p not in new:
+                new[p] = floor
+        return new
 
     for _ in range(n_em):
         model = em_round(model)

@@ -155,7 +155,11 @@ def surt_key(url) -> "F.Column":
         F.concat(
             F.array_join(F.reverse(F.split(host, r"\.")), ","),
             F.lit(")"),
-            F.when(pathq == "", F.lit("/")).otherwise(pathq),
+            # empty path -> '/'; query-only ('http://a.com?q=1') keeps
+            # the implied root slash so every key sorts under 'host)/'
+            F.when(pathq == "", F.lit("/"))
+            .when(pathq.startswith("?"), F.concat(F.lit("/"), pathq))
+            .otherwise(pathq),
         ),
     ).otherwise(F.lit(""))
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -263,8 +264,15 @@ def track_change_rate_cg(
     still folded in arrival order — the standard streaming
     late-data caveat, stated rather than hidden.
 
-    obs(url, ts_us, digest). Output mode: update."""
+    obs(url, ts_us, digest). Output mode: update. Null-timestamp
+    observations are dropped BEFORE the stateful operator — not just
+    for parity (the batch twin drops them too): one null in a long
+    column makes Arrow hand pandas float64, and microsecond epochs
+    exceed float64's 2^53 integer range, which would silently corrupt
+    every OTHER timestamp in the batch."""
     import math
+
+    obs = obs.where(F.col("ts_us").isNotNull() & F.col("url").isNotNull())
 
     def tracker(key, pdfs, state: GroupState):
         (url,) = key
