@@ -1632,3 +1632,262 @@ def test_change_rate_drops_null_timestamps(spark):
     )
     row = change_rate(df).collect()[0]
     assert row.n_obs == 2 and row.n_intervals == 1 and row.n_changes == 1
+
+
+# --------------------------------------------------- robots refetch due
+
+
+def test_robots_refetch_due_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from warctools_spark.operators.robots import robots_refetch_due
+
+    base = datetime(2026, 1, 1)
+    us0 = 1767225600 * 1_000_000  # 2026-01-01T00:00:00Z in epoch us
+    log = spark.createDataFrame(
+        [
+            ("fresh.com", base, True),
+            ("stale.com", base - timedelta(hours=25), True),
+            ("erring.com", base - timedelta(hours=2), False),
+            ("err-fresh.com", base - timedelta(minutes=30), False),
+            # flapping host: failure then success -> latest wins
+            ("flap.com", base - timedelta(hours=3), False),
+            ("flap.com", base - timedelta(hours=1), True),
+        ],
+        "host string, fetch_ts timestamp, ok boolean",
+    )
+    hosts = spark.createDataFrame(
+        [(h,) for h in
+         ["fresh.com", "stale.com", "erring.com", "err-fresh.com",
+          "flap.com", "never.com"]],
+        "host string",
+    )
+    got = {r.host: r for r in robots_refetch_due(log, hosts, us0).collect()}
+    assert not got["fresh.com"].due
+    assert got["stale.com"].due          # ok but > 24h old
+    assert got["erring.com"].due         # failed > 1h backoff
+    assert not got["err-fresh.com"].due  # failed but inside backoff
+    assert not got["flap.com"].due and got["flap.com"].last_ok
+    assert got["never.com"].due and got["never.com"].last_fetch_us is None
+
+
+def test_robots_refetch_due_matches_duckdb_replay(spark):
+    from warctools_spark.operators.robots import robots_refetch_due
+
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias(
+            "host"
+        ),
+        F.col("ts").alias("fetch_ts"),
+        (F.col("event_id") % 3 != 0).alias("ok"),
+    )
+    hosts = spark.range(50).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host")
+    )
+    as_of = 1767225600 * 1_000_000
+    got = {tuple(r) for r in robots_refetch_due(log, hosts, as_of).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TEMP TABLE events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH log AS (
+              SELECT concat('h', CAST(user_id % 40 AS VARCHAR)) AS host,
+                     epoch_us(ts) AS us, (event_id % 3 <> 0) AS ok
+              FROM events
+            ), latest AS (
+              SELECT host,
+                     max(struct_pack(us := us, ok := ok)) AS l
+              FROM log GROUP BY host
+            ), hosts AS (
+              SELECT concat('h', CAST(range AS VARCHAR)) AS host
+              FROM range(50)
+            )
+            SELECT h.host, l.l.us AS last_fetch_us, l.l.ok AS last_ok,
+                   (l.l.us IS NULL
+                    OR (l.l.ok AND {as_of} - l.l.us > {24*3600*1_000_000})
+                    OR (NOT l.l.ok AND {as_of} - l.l.us > {3600*1_000_000}))
+                     AS due
+            FROM hosts h LEFT JOIN latest l USING (host)
+            """
+        ).fetchall()
+    }
+    assert len(got) == 50 and got == want
+
+
+# --------------------------------------------------- anchor text profile
+
+
+def test_anchor_text_profile_semantics(spark):
+    from warctools_spark.operators.text_analysis import anchor_text_profile
+
+    pairs = spark.createDataFrame(
+        [
+            ("u1", "http://t.com/", "Great Search Engine"),
+            ("u2", "http://t.com/", "great search"),
+            ("u3", "http://t.com/", "  "),  # empty anchor still counted
+            ("u4", "http://t.com/", "search"),
+            ("u5", "http://only.com/x", "solo"),
+        ],
+        "src_url string, link string, anchor string",
+    )
+    got = {r.link: r for r in anchor_text_profile(pairs, top_k=2).collect()}
+    t = got["http://t.com/"]
+    assert t.n_anchors == 4 and t.n_unique_anchors == 4
+    tops = [(s.term, s.c) for s in t.top_anchors]
+    assert tops == [("search", 3), ("great", 2)]
+    s = got["http://only.com/x"]
+    assert s.n_anchors == 1 and [(x.term, x.c) for x in s.top_anchors] == [
+        ("solo", 1)
+    ]
+
+
+def test_anchor_text_profile_matches_duckdb_replay(spark, docs):
+    from warctools_spark.operators.text_analysis import anchor_text_profile
+
+    pairs = docs.select(
+        F.concat(
+            F.lit("http://t"), (F.col("doc_id") % 17).cast("string"), F.lit(".com/")
+        ).alias("link"),
+        F.concat(
+            F.lit("anchor word"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" extra")).otherwise(F.lit("")),
+        ).alias("anchor"),
+    )
+    rows = anchor_text_profile(pairs, top_k=3).collect()
+    got = {
+        r.link: (r.n_anchors, r.n_unique_anchors,
+                 tuple((s.term, s.c) for s in r.top_anchors))
+        for r in rows
+    }
+
+    con = duckdb.connect()
+    con.register("docs", docs.select("doc_id").toPandas())
+    want = {}
+    for link, n, nu, tops in con.execute(
+        """
+        WITH pairs AS (
+          SELECT concat('http://t', CAST(doc_id % 17 AS VARCHAR), '.com/')
+                   AS link,
+                 lower(trim(concat('anchor word',
+                       CAST(doc_id % 5 AS VARCHAR),
+                       CASE WHEN doc_id % 7 = 0 THEN ' extra'
+                            ELSE '' END))) AS a
+          FROM docs
+        ), counts AS (
+          SELECT link, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT a) AS BIGINT) AS nu
+          FROM pairs GROUP BY link
+        ), terms AS (
+          SELECT link, t, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT link,
+                       unnest(string_split_regex(a, '\\s+')) AS t
+                FROM pairs WHERE a <> '') WHERE t <> ''
+          GROUP BY link, t
+        ), top AS (
+          SELECT link,
+                 list(struct_pack(term := t, c := c)
+                      ORDER BY c DESC, t)[1:3] AS tops
+          FROM terms GROUP BY link
+        )
+        SELECT c.link, c.n, c.nu, t.tops
+        FROM counts c LEFT JOIN top t USING (link)
+        """
+    ).fetchall():
+        want[link] = (
+            n, nu,
+            tuple((d["term"], d["c"]) for d in (tops or [])),
+        )
+    assert len(got) == 17 and got == want
+
+
+# ------------------------------------------------------- discover_seeds
+
+
+def test_discover_seeds_composition(spark):
+    from warctools_spark.functions.udfs import (
+        udf_canonicalize_url,
+        udf_url_host,
+        udf_url_sha1,
+    )
+    from warctools_spark.operators.sitemap import discover_seeds, parse_sitemaps
+    from warctools_spark.operators.urlspace import scope_filter
+
+    xml_a = (
+        "<urlset>"
+        "<url><loc>http://a.com/page1</loc></url>"
+        "<url><loc>http://a.com/page1#frag</loc></url>"  # same canon url
+        "<url><loc>http://sub.a.com/page2</loc></url>"
+        "<url><loc>http://other.com/out-of-scope</loc></url>"
+        "</urlset>"
+    )
+    xml_idx = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://a.com/sitemap2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    maps = spark.createDataFrame(
+        [("http://a.com/sitemap.xml", xml_a), ("http://a.com/idx.xml", xml_idx)],
+        "url string, xml string",
+    )
+    seeds = ["http://www.a.com/"]
+    got = {
+        r.canon_url: r
+        for r in discover_seeds(maps, seeds, "domain").collect()
+    }
+    # scope gate kept only a.com-domain urls; canon dedup folded the
+    # fragment variant; the sitemapindex entry is NOT a seed
+    assert len(got) == 2
+    assert {u.split("://")[1].split("/")[0] for u in got} == {
+        "a.com",
+        "sub.a.com",
+    }
+    for r in got.values():
+        assert r.depth == 0 and r.url_sha1 and r.host.endswith("a.com")
+
+    # composition == running the stages by hand
+    manual = (
+        scope_filter(
+            parse_sitemaps(maps)
+            .where(F.col("kind") == "urlset")
+            .select(F.col("loc").alias("url")),
+            seeds,
+            "domain",
+        )
+        .select(
+            udf_canonicalize_url(F.col("url")).alias("canon_url"),
+            udf_url_sha1(F.col("url")).alias("url_sha1"),
+            udf_url_host(F.col("url")).alias("host"),
+        )
+        .withColumn("depth", F.lit(0))
+        .dropDuplicates(["url_sha1"])
+    )
+    assert sorted(map(tuple, manual.select(
+        "canon_url", "host", "depth", "url_sha1").collect())) == sorted(
+        map(tuple, discover_seeds(maps, seeds, "domain").collect())
+    )
+    # unscoped: out-of-scope url survives
+    assert len(discover_seeds(maps).collect()) == 3
+
+
+def test_discover_seeds_feeds_epoch(spark):
+    """The discovered seed table IS a valid frontier queue: run one
+    epoch on it without any glue."""
+    from warctools_spark.operators.sitemap import discover_seeds
+
+    xml = (
+        "<urlset><url><loc>http://hot.example.com/doc/1.html</loc></url>"
+        "<url><loc>http://src3.example.com/doc/23.html</loc></url></urlset>"
+    )
+    maps = spark.createDataFrame(
+        [("http://hot.example.com/sitemap.xml", xml)], "url string, xml string"
+    )
+    q = discover_seeds(maps)
+    assert q.columns == ["canon_url", "host", "depth", "url_sha1"]
+    assert q.count() == 2

@@ -126,3 +126,56 @@ def parse_sitemaps(
         )
         .where(F.col("loc").isNotNull())
     )
+
+
+def discover_seeds(
+    sitemaps: DataFrame,
+    scope_seeds=None,
+    scope_mode: str = "domain",
+    url_col: str = "url",
+    xml_col: str = "xml",
+) -> DataFrame:
+    """Sitemap-driven seed discovery — the channel robots.txt's
+    `Sitemap:` directives point a crawler at (sitemaps.org protocol;
+    the robots kernel already surfaces the directives via
+    robots_sitemaps): parse fetched sitemap documents, keep urlset
+    entries, optionally gate them by the crawl scope, and emit
+    frontier-ready seed rows.
+
+    Output matches plans/epoch.init_state's queue shape —
+    (canon_url, host, depth=0, url_sha1), one row per distinct
+    canonical url — so `run_epoch` consumes it directly and a
+    sitemap-seeded crawl needs no glue. sitemapindex entries are NOT
+    followed here (fetching is the crawler's job); they pass through
+    `parse_sitemaps` for the caller to schedule.
+
+    Composition, no new logic: parse_sitemaps (pure Catalyst) ->
+    urlspace.scope_filter (broadcast semi; skipped when scope_seeds
+    is None) -> the same canonicalize/sha1/host UDFs init_state uses
+    -> dropDuplicates(url_sha1). Components carry their own oracle
+    evidence; the test pins the composition equal to running them by
+    hand."""
+    from warctools_spark.functions.udfs import (
+        udf_canonicalize_url,
+        udf_url_host,
+        udf_url_sha1,
+    )
+    from warctools_spark.operators.urlspace import scope_filter
+
+    entries = (
+        parse_sitemaps(sitemaps, url_col=url_col, xml_col=xml_col)
+        .where(F.col("kind") == "urlset")
+        .select(F.col("loc").alias("url"))
+    )
+    if scope_seeds is not None:
+        entries = scope_filter(entries, scope_seeds, scope_mode)
+    return (
+        entries.select(
+            udf_canonicalize_url(F.col("url")).alias("canon_url"),
+            udf_url_sha1(F.col("url")).alias("url_sha1"),
+            udf_url_host(F.col("url")).alias("host"),
+        )
+        .withColumn("depth", F.lit(0))
+        .dropDuplicates(["url_sha1"])
+        .select("canon_url", "host", "depth", "url_sha1")
+    )

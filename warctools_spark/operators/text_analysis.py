@@ -1232,3 +1232,85 @@ def kneser_ney_logprob(
             ).alias("mean_neg_logprob_kn"),
         )
     )
+
+
+def anchor_text_profile(
+    pairs: DataFrame,
+    top_k: int = 5,
+    link_col: str = "link",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-TARGET anchor-text profile — the classic off-page document
+    signal (anchor-text indexing: Brin & Page 1998 §2.2 use the link
+    text to describe the page it points AT; every production search
+    stack since does the same): aggregate what the rest of the web
+    calls a URL.
+
+    Input: (link, anchor) pairs (anchor_text_pairs or harvest_links'
+    anchors). Output, one row per distinct target link:
+
+      link, n_anchors          total anchor occurrences
+      n_unique_anchors         distinct normalized anchor strings
+      top_anchors              array of the top_k (term, c) structs —
+                               whitespace terms of the normalized
+                               anchors, by (count desc, term asc)
+
+    Normalization is lower + trim; empty anchors ("click-through
+    images") are dropped from terms but still counted in n_anchors.
+
+    Plan: one (link, term) explode + hash agg, then a per-link
+    rowsBetween-free top-k via sort_array over collected (c, term)
+    structs — the collect is bounded per link by distinct terms of
+    its anchors, and a mega-target (everyone links the homepage)
+    still pre-aggregates (link, term) map-side before the wire. A
+    pathological target with unbounded distinct anchor vocabulary is
+    capped by the agg key cardinality, not by row fan-in."""
+    norm = F.lower(F.trim(F.col(anchor_col)))
+    base = pairs.select(F.col(link_col).alias("link"), norm.alias("__a"))
+    counts = base.groupBy("link").agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.count_distinct(F.col("__a")).cast("long").alias(
+            "n_unique_anchors"
+        ),
+    )
+    terms = (
+        base.where(F.col("__a") != "")
+        .select("link", F.explode(F.split(F.col("__a"), r"\s+")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("link", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = (
+        terms.groupBy("link")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("c")).alias("nc"),
+                            F.col("t").alias("term"),
+                            F.col("c").alias("c"),
+                        )
+                    )
+                ),
+                1,
+                top_k,
+            ).alias("__top")
+        )
+        .select(
+            "link",
+            F.transform(
+                F.col("__top"),
+                lambda s: F.struct(s["term"].alias("term"), s["c"].alias("c")),
+            ).alias("top_anchors"),
+        )
+    )
+    return counts.join(top, "link", "left").select(
+        "link",
+        "n_anchors",
+        "n_unique_anchors",
+        F.coalesce(
+            F.col("top_anchors"),
+            F.array().cast("array<struct<term:string,c:bigint>>"),
+        ).alias("top_anchors"),
+    )
