@@ -1891,3 +1891,200 @@ def test_discover_seeds_feeds_epoch(spark):
     q = discover_seeds(maps)
     assert q.columns == ["canon_url", "host", "depth", "url_sha1"]
     assert q.count() == 2
+
+
+# ----------------------------------------------------- temperature mix
+
+
+def test_temperature_rates_semantics(spark):
+    from warctools_spark.operators.sampling import temperature_rates
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    got = {r.source: r for r in temperature_rates(docs, alpha=0.5).collect()}
+    p_big, p_small = 0.9, 0.1
+    z = p_big**0.5 + p_small**0.5
+    assert got["big"].p == 0.9 and got["small"].p == round(0.1, 9)
+    assert got["big"].q == round(p_big**0.5 / z, 9)
+    assert got["small"].q == round(p_small**0.5 / z, 9)
+    # alpha=1 keeps natural shares; alpha=0 is uniform
+    nat = {r.source: r.q for r in temperature_rates(docs, alpha=1.0).collect()}
+    assert nat == {"big": 0.9, "small": 0.1}
+    uni = {r.source: r.q for r in temperature_rates(docs, alpha=0.0).collect()}
+    assert uni == {"big": 0.5, "small": 0.5}
+    # rate caps at 1.0 when the budget over-asks a small stratum
+    rated = {
+        r.source: r.rate
+        for r in temperature_rates(docs, alpha=0.0, n_target=80).collect()
+    }
+    assert rated["small"] == 1.0  # 80*0.5/10 = 4 -> capped
+    assert rated["big"] == round(80 * 0.5 / 90, 9)
+    with pytest.raises(ValueError):
+        temperature_rates(docs, alpha=-1)
+
+
+def test_temperature_mix_deterministic_and_audited(spark):
+    from warctools_spark.operators.sampling import mix_report, temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 10 < 8 else "b", "t") for i in range(2000)],
+        "doc_id long, source string, text string",
+    )
+    s1 = sorted(r.doc_id for r in temperature_mix(docs, 0.3, 400).collect())
+    s2 = sorted(
+        r.doc_id
+        for r in temperature_mix(docs.repartition(13), 0.3, 400).collect()
+    )
+    assert s1 == s2 and len(s1) > 0
+    rep = {
+        r.source: r
+        for r in mix_report(
+            docs, temperature_mix(docs, 0.3, 400)
+        ).collect()
+    }
+    # the flattened mix oversamples the small stratum relative to 0.2
+    assert rep["b"].achieved_frac > rep["a"].achieved_frac
+
+
+def test_temperature_rates_matches_duckdb_replay(spark, docs):
+    from warctools_spark.operators.sampling import temperature_rates
+
+    alpha, n_target = 0.3, 200
+    got = {
+        tuple(r)
+        for r in temperature_rates(docs, alpha, n_target, "source").collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", docs.select("source").toPandas())
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n FROM docs GROUP BY 1
+            ), t AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM c),
+            w AS (
+              SELECT source, n, pow(n / t.nt, {alpha}) AS w, t.nt
+              FROM c CROSS JOIN t
+            ), z AS (SELECT sum(w) AS Z FROM w)
+            SELECT source, n AS n_corpus,
+                   ROUND(n / nt, 9) AS p,
+                   ROUND(w / z.Z, 9) AS q,
+                   ROUND(LEAST(1.0, {n_target} * (w / z.Z) / n), 9) AS rate
+            FROM w CROSS JOIN z
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------- image dhash
+
+
+def _img_blob(pattern):
+    import numpy as np
+
+    from warctools_spark.operators.multimodal import encode_img1
+
+    arr = np.asarray(pattern, dtype=np.uint8)
+    return encode_img1(arr.shape[1], arr.shape[0], 1, arr.tobytes())
+
+
+def test_image_dhash_semantics(spark):
+    import numpy as np
+
+    from warctools_spark.operators.multimodal import image_dhash
+
+    base = np.tile(np.arange(0, 90, 10, dtype=np.uint8), (8, 1))  # 9x8 ramp
+    doubled = np.kron(base, np.ones((2, 2), dtype=np.uint8))  # 18x16
+    tweaked = base.copy()
+    tweaked[0, 0] = 89  # flips at most one comparison
+    inverted = base[:, ::-1].copy()
+    rows = [
+        (0, "img1", _img_blob(base)),
+        (1, "img1", _img_blob(base)),
+        (2, "img1", _img_blob(doubled)),
+        (3, "img1", _img_blob(tweaked)),
+        (4, "img1", _img_blob(inverted)),
+        (5, "img1", b"JUNK"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, blob binary")
+    got = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert got[0] == got[1]              # byte-identical -> equal
+    assert got[0] == got[2]              # 2x nearest upscale -> equal
+    assert got[5] is None                # undecodable -> null
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert 0 <= ham(got[0], got[3]) <= 2  # one-pixel tweak: tiny distance
+    assert ham(got[0], got[4]) >= 30      # mirrored ramp: far
+
+
+def test_image_neardup_pairs_exact_recall_and_replay(spark):
+    from warctools_spark.operators.multimodal import image_neardup_pairs
+
+    # handcrafted hashes incl. negative (bit-63) values
+    h0 = -(1 << 63) + 12345
+    rows = [
+        (0, h0),
+        (1, h0 ^ 0b101),          # hamming 2 from 0
+        (2, h0 ^ (1 << 20) ^ (1 << 40) ^ (1 << 60)),  # hamming 3
+        (3, 777),                  # far from everything
+        (4, None),                 # null dropped
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in image_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert got == {(0, 1): 2, (0, 2): 3, (1, 2): 5} or got == {
+        (0, 1): 2,
+        (0, 2): 3,
+    }
+    # (1,2) has hamming 5 -> must NOT appear at max_hamming=3
+    assert (1, 2) not in got
+
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE h (media_id BIGINT, dhash BIGINT)")
+    con.executemany(
+        "INSERT INTO h VALUES (?, ?)", [(i, v) for i, v in rows]
+    )
+    want = {
+        (a, b): hm
+        for a, b, hm in con.execute(
+            """
+            WITH bands AS (
+              SELECT media_id, dhash, i AS band_ix,
+                     (dhash >> (16 * i)) & 65535 AS key
+              FROM h CROSS JOIN UNNEST([0,1,2,3]) AS t(i)
+              WHERE dhash IS NOT NULL
+            )
+            SELECT DISTINCT a.media_id, b.media_id,
+                   bit_count(xor(a.dhash, b.dhash)) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band_ix = b.band_ix AND a.key = b.key
+             AND a.media_id < b.media_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+            """
+        ).fetchall()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        image_neardup_pairs(df, n_bands=9)
+
+
+def test_image_neardup_distinct_hash_collapse(spark):
+    from warctools_spark.operators.multimodal import image_neardup_pairs
+
+    rows = [(i, 4242) for i in range(6)] + [(10, 4242 ^ 0b11), (11, 999999)]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    # scale default: identical hashes collapse to min(media_id) --
+    # exactly ONE representative pair relates the two hash values
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in image_neardup_pairs(df).collect()
+    }
+    assert got == {(0, 10): 2}
+    # full mode relates every member
+    full = image_neardup_pairs(df, distinct_hashes=False).collect()
+    assert len(full) == 15 + 6  # C(6,2) zero-distance + 6 x (i,10)

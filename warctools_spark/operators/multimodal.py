@@ -390,3 +390,117 @@ def sniff_mime(blob_col) -> "F.Column":
             F.startswith(F.hex(col), F.lit(hexs.upper())), F.lit(mime)
         ).otherwise(out)
     return out
+
+
+def image_dhash(media: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """64-bit difference hash (dHash — the classic perceptual image
+    fingerprint: Krawetz's published recipe; also what most dedup
+    pipelines run before embedding-level near-dup): decode, nearest-
+    neighbor resample the luma plane to 9x8 with pure integer index
+    mapping (no filtering — deterministic on every platform), set
+    bit r*8+c iff px[r,c] > px[r,c+1]. Robust to rescaling and mild
+    recompression; byte-identical images always collide.
+
+    Goes through the registered codec table, so the fake IMG1 codec
+    exercises the full path in-container and Pillow-backed real
+    decode uses the same code when present. Output
+    (media_id, dhash bigint — two's complement of the 64-bit value);
+    undecodable rows carry null."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, k, b in zip(pdf["media_id"], pdf["kind"], pdf[blob_col]):
+                try:
+                    d = _codecs[k](bytes(b))
+                    w, h = d["width"], d["height"]
+                    px = np.frombuffer(d["payload"], dtype=np.uint8)[
+                        : w * h
+                    ].reshape(h, w)
+                    xi = (np.arange(9) * w // 9).clip(0, w - 1)
+                    yi = (np.arange(8) * h // 8).clip(0, h - 1)
+                    small = px[np.ix_(yi, xi)].astype(np.int16)
+                    bits = small[:, :-1] > small[:, 1:]
+                    val = 0
+                    for i, bit in enumerate(bits.flatten()):
+                        if bit:
+                            val |= 1 << i
+                    if val >= 1 << 63:
+                        val -= 1 << 64
+                    hashes.append(val)
+                except Exception:
+                    hashes.append(None)
+                ids.append(int(mid))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.mapInPandas(gen, "media_id long, dhash long")
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    distinct_hashes: bool = True,
+) -> DataFrame:
+    """Near-duplicate image pairs from a dhash table: band the 64-bit
+    hash into `n_bands` 16-bit keys (pigeonhole: any pair within
+    hamming distance n_bands-1 shares at least one clean band, so the
+    default 4 bands give EXACT recall for max_hamming <= 3), bucket-
+    join on (band_ix, key), then filter on the true bit_count(xor).
+    Output: (media_id_a, media_id_b, hamming), a < b, deduped.
+
+    The same banded shape as the simhash/LSH text family: candidate
+    generation is bounded by bucket sizes, never all-pairs; the
+    arithmetic-shift-then-mask band key is sign-safe for two's-
+    complement hashes and replays identically in DuckDB.
+
+    `distinct_hashes=True` (the scale default) first collapses
+    byte-identical perceptual hashes to one representative
+    (min media_id) — a viral image duplicated 10^6 times would
+    otherwise put 10^6 rows in the SAME bucket and the join would
+    generate 10^12 pairs (the exact trap the minhash family caps).
+    Exact-duplicate membership is a groupBy(dhash) away and is not a
+    pair problem; pairs here relate DISTINCT hash values. Set False
+    on small data to relate every media_id directly."""
+    if not 1 <= n_bands <= 4:
+        raise ValueError("n_bands must be in 1..4 (16-bit bands of 64)")
+    h = hashes.where(F.col("dhash").isNotNull())
+    if distinct_hashes:
+        h = h.groupBy("dhash").agg(F.min("media_id").alias("media_id"))
+    bands = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_ix"),
+                        F.shiftright(F.col("dhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "dhash", "b.band_ix", "b.key")
+    a = bands.select(
+        F.col("media_id").alias("media_id_a"),
+        F.col("dhash").alias("__ha"),
+        "band_ix",
+        "key",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_id_b"),
+        F.col("dhash").alias("__hb"),
+        "band_ix",
+        "key",
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        a.join(b, ["band_ix", "key"])
+        .where(F.col("media_id_a") < F.col("media_id_b"))
+        .select("media_id_a", "media_id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
