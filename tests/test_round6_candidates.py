@@ -2088,3 +2088,149 @@ def test_image_neardup_distinct_hash_collapse(spark):
     # full mode relates every member
     full = image_neardup_pairs(df, distinct_hashes=False).collect()
     assert len(full) == 15 + 6  # C(6,2) zero-distance + 6 x (i,10)
+
+
+# --------------------------------------------------------------- zipnum
+
+
+def test_write_zipnum_roundtrip_and_lookup(spark, tmp_path, docs):
+    import gzip as _gzip
+    import os
+
+    from warctools_spark.operators.archive_ops import (
+        cdxj_lines,
+        write_zipnum,
+        zipnum_lookup,
+    )
+
+    idx = docs.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("original"),
+        F.lpad((F.col("doc_id") % 97).cast("string"), 14, "0").alias("ts14"),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        F.lit("d").alias("digest"),
+        F.lit(1).alias("length"),
+    )
+    lines = cdxj_lines(idx.repartition(16))
+    dest = str(tmp_path / "zipnum")
+    summary = write_zipnum(lines, dest, n_shards=4, block_lines=40)
+    srows = summary.collect()
+    n_docs = docs.count()
+    assert sum(r.n_lines for r in srows) == n_docs
+    assert all(r.n_lines <= 40 for r in srows)
+    assert len({r.file for r in srows}) >= 2  # really sharded
+
+    # decompressing every member in summary order reproduces the
+    # globally sorted index exactly
+    all_lines = []
+    for r in sorted(srows, key=lambda r: (r.file, r.offset)):
+        with open(os.path.join(dest, r.file), "rb") as fh:
+            fh.seek(r.offset)
+            member = fh.read(r.length)
+        chunk = _gzip.decompress(member).decode().splitlines()
+        assert chunk[0].split(" ", 1)[0] == r.block_key
+        all_lines.extend(chunk)
+    assert all_lines == sorted(all_lines) and len(all_lines) == n_docs
+    assert all_lines == sorted(r.line for r in lines.collect())
+
+    # point lookups hit exactly the right lines via the summary file
+    want = sorted(
+        r.line for r in lines.collect()
+        if r.line.startswith("com,example,h7)")
+    )
+    got = zipnum_lookup(dest, "com,example,h7)")
+    assert got == want and len(got) > 0
+    assert zipnum_lookup(dest, "com,nosuchhost)") == []
+    # determinism: a second write produces byte-identical members
+    dest2 = str(tmp_path / "zipnum2")
+    write_zipnum(lines, dest2, n_shards=4, block_lines=40)
+    for r in srows:
+        with open(os.path.join(dest, r.file), "rb") as a, open(
+            os.path.join(dest2, r.file), "rb"
+        ) as b:
+            assert a.read() == b.read()
+
+
+# ---------------------------------------------------- audio fingerprint
+
+
+def _tone(n, sr=16000, seed=0):
+    import numpy as np
+
+    t = np.arange(n) / sr
+    rng = np.random.RandomState(seed)
+    sig = (
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.3 * np.sin(2 * np.pi * 1200 * t * (1 + 0.1 * np.sin(t)))
+        + 0.05 * rng.randn(n)
+    )
+    return (sig * 16000).astype("<i2")
+
+
+def test_audio_fingerprint_and_matching(spark):
+    import numpy as np
+
+    from warctools_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_match_pairs,
+        encode_aud1,
+    )
+
+    hop = 1024
+    content = _tone(24 * hop, seed=1)
+    prefix = _tone(8 * hop, seed=2)          # different content, aligned
+    unrelated = _tone(24 * hop, seed=3)
+    rows = [
+        (0, "aud1", encode_aud1(16000, content.tobytes())),
+        (1, "aud1", encode_aud1(16000, np.concatenate([prefix, content]).tobytes())),
+        (2, "aud1", encode_aud1(16000, unrelated.tobytes())),
+        (3, "aud1", encode_aud1(16000, (content // 2).tobytes())),  # half volume
+        (4, "aud1", b"JUNK"),
+        (5, "aud1", encode_aud1(16000, content[:100].tobytes())),  # too short
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, blob binary")
+    fps = audio_fingerprint(df).cache()
+    by_id = {}
+    for r in fps.collect():
+        by_id.setdefault(r.media_id, {})[r.frame_ix] = r.fp
+    assert set(by_id) == {0, 1, 2, 3}  # junk and too-short emit nothing
+    # volume invariance: exact halving flips no comparison bits
+    assert by_id[0] == by_id[3]
+    # the embedded copy reproduces the clip's fingerprints at +8 frames
+    shared = [
+        i for i in by_id[0] if by_id[1].get(i + 8) == by_id[0][i]
+    ]
+    assert len(shared) >= len(by_id[0]) - 2
+
+    pairs = {
+        (r.media_id_a, r.media_id_b): r
+        for r in audio_match_pairs(fps, min_matches=5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)].offset == 8
+    assert (0, 3) in pairs and pairs[(0, 3)].offset == 0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_audio_match_silence_df_gate(spark):
+    import numpy as np
+
+    from warctools_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_match_pairs,
+        encode_aud1,
+    )
+
+    silence = np.zeros(16 * 1024, dtype="<i2")
+    rows = [
+        (i, "aud1", encode_aud1(16000, silence.tobytes())) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, blob binary")
+    fps = audio_fingerprint(df)
+    # constant signal -> degenerate identical fingerprints; the
+    # frequency gate keeps them out of the join entirely
+    assert audio_match_pairs(fps, min_matches=2, max_fp_freq=10).count() == 0

@@ -452,3 +452,148 @@ def write_cdxj(
         for name in fs.listdir(path)
         if name.startswith("part-")
     ]
+
+
+def write_zipnum(
+    lines: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    block_lines: int = 3000,
+) -> DataFrame:
+    """ZipNum-clustered CDX(J) index (the OpenWayback/pywb "zipnum"
+    layout, public spec: sorted index lines grouped into gzip MEMBERS
+    of `block_lines` lines each, plus a small plain-text summary with
+    one line per block — `<first_key> <file> <offset> <length>` — so
+    a replay client binary-searches the SUMMARY in memory and reads
+    exactly one ~N-line gzip member per lookup instead of seeking a
+    monolithic sorted file).
+
+    Input: a `cdxj_lines` table. The global sort reuses write_cdxj's
+    shape (repartitionByRange + sortWithinPartitions — contiguous
+    sorted shards, no single-reducer sort); each task then walks its
+    partition once, gzips every block as an independent deterministic
+    member (mtime=0, level 9 — byte-stable across reruns), appends to
+    ONE part file, and emits that block's summary row. Executor
+    writes go through plain file I/O on the shard-local path — the
+    same sandbox FS seam as unpack_to_files; an object-store target
+    swaps this for the Hadoop FS API.
+
+    Returns the summary as a DataFrame (block_key, file, offset,
+    length, n_lines) — block-count-sized (index_lines/block_lines),
+    the thing a replay server loads into memory. The caller persists
+    it next to the blocks (it is small enough to collect)."""
+    import os
+
+    import pandas as pd
+
+    dest = path.rstrip("/")
+    os.makedirs(dest, exist_ok=True)
+
+    ordered = (
+        lines.select("line")
+        .repartitionByRange(n_shards, F.col("line"))
+        .sortWithinPartitions("line")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    def gen(batches):
+        from warctools_spark.kernels.warc_write import gzip_member
+
+        buf: list = []
+        pid = None
+        out_rows = {
+            "block_key": [],
+            "file": [],
+            "offset": [],
+            "length": [],
+            "n_lines": [],
+        }
+        offset = 0
+        fh = None
+        fname = None
+
+        def flush():
+            nonlocal offset
+            if not buf:
+                return
+            raw = ("\n".join(buf) + "\n").encode("utf-8")
+            member = gzip_member(raw)
+            fh.write(member)
+            out_rows["block_key"].append(buf[0].split(" ", 1)[0])
+            out_rows["file"].append(fname)
+            out_rows["offset"].append(offset)
+            out_rows["length"].append(len(member))
+            out_rows["n_lines"].append(len(buf))
+            offset += len(member)
+            buf.clear()
+
+        for pdf in batches:
+            for line, p in zip(pdf["line"], pdf["__pid"]):
+                if fh is None:
+                    pid = int(p)
+                    fname = "part-%05d.cdx.gz" % pid
+                    fh = open(os.path.join(dest, fname), "wb")
+                buf.append(str(line))
+                if len(buf) >= block_lines:
+                    flush()
+        if fh is not None:
+            flush()
+            fh.close()
+        yield pd.DataFrame(out_rows)
+
+    summary = ordered.mapInPandas(
+        gen,
+        "block_key string, file string, offset long, length long,"
+        " n_lines long",
+    )
+    # one action drives the writes; the tiny result comes back sorted
+    rows = sorted(
+        map(tuple, summary.collect()), key=lambda r: (r[1], r[2])
+    )
+    spark = lines.sparkSession
+    out = spark.createDataFrame(
+        rows, "block_key string, file string, offset long, length long, n_lines long"
+    )
+    with open(os.path.join(dest, "zipnum-summary.txt"), "w") as fh:
+        for bk, fname, off, ln, _n in rows:
+            fh.write(f"{bk} {fname} {off} {ln}\n")
+    return out
+
+
+def zipnum_lookup(path: str, key_prefix: str) -> list[str]:
+    """Replay-client read path for a `write_zipnum` directory: binary-
+    search the in-memory summary for blocks that may contain the key
+    prefix, gunzip ONLY those members, scan their lines. Driver-side
+    by design — this is the lookup a wayback server does per request,
+    not a Spark job; it exists so tests (and the CLI) prove the
+    written layout actually supports point lookups."""
+    import bisect
+    import gzip as _gzip
+    import os
+
+    dest = path.rstrip("/")
+    summary = []
+    with open(os.path.join(dest, "zipnum-summary.txt")) as fh:
+        for ln in fh:
+            bk, fname, off, length = ln.rsplit(" ", 3)
+            summary.append((bk, fname, int(off), int(length)))
+    # blocks are [first_key_i, first_key_{i+1}) ranges in global order;
+    # a prefix can span adjacent blocks
+    keys = [bk for bk, _, _, _ in summary]
+    lo = max(bisect.bisect_right(keys, key_prefix) - 1, 0)
+    out = []
+    for i in range(lo, len(summary)):
+        bk, fname, off, length = summary[i]
+        # a later block whose first key is already past every string
+        # with this prefix cannot contain a match (lines are globally
+        # sorted); the block AT lo must always be scanned — matches
+        # may start mid-block
+        if i > lo and bk > key_prefix and not bk.startswith(key_prefix):
+            break
+        with open(os.path.join(dest, fname), "rb") as fh:
+            fh.seek(off)
+            member = fh.read(length)
+        for line in _gzip.decompress(member).decode("utf-8").splitlines():
+            if line.startswith(key_prefix):
+                out.append(line)
+    return out
