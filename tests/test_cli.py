@@ -173,3 +173,35 @@ def test_cli_warcindex_cdx(warc_file):
     assert fields[2] == "http://a.example/page.html"
     assert fields[4] == "200"
     assert len(fields[5]) == 64                   # sha256 hex digest
+
+
+def test_warccdxj_cli(warc_file, tmp_path):
+    import gzip
+    import json
+    import os
+
+    out = str(tmp_path / "cdxj")
+    r = run_cli("warccdxj", "-o", out, warc_file)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert b"shards" in r.stdout
+    lines = []
+    for name in sorted(os.listdir(out)):
+        if name.startswith("part-"):
+            with open(os.path.join(out, name)) as fh:
+                lines += fh.read().splitlines()
+    assert lines == sorted(lines) and len(lines) == 1
+    key, ts14, js = lines[0].split(" ", 2)
+    assert key.startswith("example,a)")
+    assert json.loads(js)["url"] == "http://a.example/page.html"
+
+    outz = str(tmp_path / "zipnum")
+    r = run_cli("warccdxj", "-o", outz, "--zipnum", "--block-lines", "5", warc_file)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert b"blocks" in r.stdout
+    summary = open(os.path.join(outz, "zipnum-summary.txt")).read().splitlines()
+    assert len(summary) == 1
+    bk, fname, off, length = summary[0].rsplit(" ", 3)
+    with open(os.path.join(outz, fname), "rb") as fh:
+        fh.seek(int(off))
+        member = fh.read(int(length))
+    assert gzip.decompress(member).decode().splitlines() == lines

@@ -4,6 +4,7 @@
 
 tools (1:1 with the reference commands):
   warcindex   [--cdx] <warcs...>          index lines (CDX w/ --cdx)
+  warccdxj    -o DIR [--zipnum] <warcs..> sorted CDXJ shards / ZipNum
   warcfilter  [-U|-T|-C|-H|-D] [-i] <pattern> <warcs...>
   warcvalid   <warcs...>                  exit 0 iff all records valid
   warcdump    <warcs...>                  human-readable record dump
@@ -387,6 +388,35 @@ def cmd_corpus(args):
     return 0
 
 
+def cmd_warccdxj(args):
+    """CDXJ index from WARC inputs: sorted shard files (--zipnum for
+    the clustered gzip-member layout + summary). Extra capability —
+    no reference counterpart; the layouts are the OpenWayback/pywb
+    public conventions."""
+    from warctools_spark.operators.archive_ops import (
+        cdx_index,
+        cdxj_lines,
+        records_to_pages,
+        write_cdxj,
+        write_zipnum,
+    )
+
+    spark = _spark(args.cpus)
+    lines = cdxj_lines(
+        cdx_index(records_to_pages(_records(spark, args.inputs)))
+    )
+    if args.zipnum:
+        summary = write_zipnum(
+            lines, args.output, n_shards=args.shards,
+            block_lines=args.block_lines,
+        )
+        sys.stdout.write("%d blocks\n" % summary.count())
+    else:
+        parts = write_cdxj(lines, args.output, n_shards=args.shards)
+        sys.stdout.write("%d shards\n" % len(parts))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="warctools_spark", description=__doc__)
     p.add_argument("--cpus", default="*", help="local[N] cores")
@@ -464,6 +494,14 @@ def main(argv=None):
     )
     s.add_argument("inputs", nargs="+")
     s.set_defaults(fn=cmd_warcunpack)
+
+    s = sub.add_parser("warccdxj")
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--zipnum", action="store_true")
+    s.add_argument("--shards", type=int, default=8)
+    s.add_argument("--block-lines", type=int, default=3000)
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_warccdxj)
 
     s = sub.add_parser("corpus")
     s.add_argument("--docs", required=True, help="documents parquet")
