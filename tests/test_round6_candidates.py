@@ -1869,7 +1869,7 @@ def test_discover_seeds_composition(spark):
         .dropDuplicates(["url_sha1"])
     )
     assert sorted(map(tuple, manual.select(
-        "canon_url", "host", "depth", "url_sha1").collect())) == sorted(
+        "url_sha1", "canon_url", "host", "depth").collect())) == sorted(
         map(tuple, discover_seeds(maps, seeds, "domain").collect())
     )
     # unscoped: out-of-scope url survives
@@ -1889,7 +1889,7 @@ def test_discover_seeds_feeds_epoch(spark):
         [("http://hot.example.com/sitemap.xml", xml)], "url string, xml string"
     )
     q = discover_seeds(maps)
-    assert q.columns == ["canon_url", "host", "depth", "url_sha1"]
+    assert q.columns == ["url_sha1", "canon_url", "host", "depth"]
     assert q.count() == 2
 
 
@@ -2234,3 +2234,69 @@ def test_audio_match_silence_df_gate(spark):
     # constant signal -> degenerate identical fingerprints; the
     # frequency gate keeps them out of the join entirely
     assert audio_match_pairs(fps, min_matches=2, max_fp_freq=10).count() == 0
+
+
+def test_review_fixes_round5b(spark):
+    """Regressions for the second review pass: multi-channel dHash,
+    hamming/band guard, audio frame guard, null-ok robots rows,
+    uncastable string timestamps in change_rate."""
+    import numpy as np
+    from datetime import datetime
+
+    from warctools_spark.operators.frontier import change_rate
+    from warctools_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_img1,
+        image_dhash,
+        image_neardup_pairs,
+    )
+    from warctools_spark.operators.robots import robots_refetch_due
+
+    # multi-channel IMG1: per-pixel channel sum, not raw interleave —
+    # a 3-channel image whose channels all equal the gray image must
+    # hash identically to it
+    gray = np.tile(np.arange(0, 90, 10, dtype=np.uint8), (8, 1))
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    blob_gray = encode_img1(9, 8, 1, gray.tobytes())
+    blob_rgb = encode_img1(9, 8, 3, rgb.tobytes())
+    df = spark.createDataFrame(
+        [(0, "img1", blob_gray), (1, "img1", blob_rgb)],
+        "media_id long, kind string, blob binary",
+    )
+    got = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert got[0] is not None and got[0] == got[1]
+
+    # recall guard: banding cannot promise hamming > n_bands-1
+    hashes = spark.createDataFrame([(0, 1)], "media_id long, dhash long")
+    with pytest.raises(ValueError):
+        image_neardup_pairs(hashes, max_hamming=5, n_bands=4)
+
+    # audio frame guard: too few fft bins for the band count
+    media = spark.createDataFrame(
+        [(0, "aud1", b"AUD1\x00\x00>\x80" + b"\x00" * 4096)],
+        "media_id long, kind string, blob binary",
+    )
+    with pytest.raises(ValueError):
+        audio_fingerprint(media, frame=64)
+
+    # null-ok robots rows: due stays BOOLEAN (failure semantics)
+    log = spark.createDataFrame(
+        [("h", datetime(2025, 12, 31, 22, 0, 0), None)],
+        "host string, fetch_ts timestamp, ok boolean",
+    )
+    hosts = spark.createDataFrame([("h",)], "host string")
+    row = robots_refetch_due(log, hosts, 1767225600 * 1_000_000).collect()[0]
+    assert row.due is True  # unknown outcome, 2h old -> past the backoff
+
+    # string ts column with junk values: filtered at the CAST, so the
+    # real interval survives
+    obs = spark.createDataFrame(
+        [
+            ("u", "2026-01-01 00:00:00", "d1"),
+            ("u", "not-a-date", "dX"),
+            ("u", "2026-01-01 00:01:40", "d2"),
+        ],
+        "url string, ts string, digest string",
+    )
+    r = change_rate(obs).collect()[0]
+    assert r.n_obs == 2 and r.n_intervals == 1 and r.n_changes == 1

@@ -408,11 +408,14 @@ def change_rate(
     only floats are the final ln and division (round-6, ORACLES.md
     #5). Microsecond arithmetic matches recrawl_priority's
     convention so the two schedules compose."""
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    # null-timestamp observations carry no interval information and
-    # would sort arbitrarily into the lag window — dropped here, and
-    # the streaming twin (track_change_rate_cg) drops them identically
-    obs = obs.where(F.col(ts_col).isNotNull())
+    # try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW on
+    # junk strings instead of yielding null (ORACLES.md #12)
+    us = F.unix_micros(F.col(ts_col).try_cast("timestamp"))
+    # null/uncastable timestamps carry no interval information and
+    # would sort arbitrarily into the lag window — dropped on the CAST
+    # result (a string ts_col full of junk filters here too), and the
+    # streaming twin (track_change_rate_cg) drops nulls identically
+    obs = obs.where(us.isNotNull())
     w = Window.partitionBy(url_col).orderBy(us, F.col(digest_col))
     seq = obs.select(
         F.col(url_col).alias("url"),

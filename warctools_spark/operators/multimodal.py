@@ -414,12 +414,21 @@ def image_dhash(media: DataFrame, blob_col: str = "blob") -> DataFrame:
                 try:
                     d = _codecs[k](bytes(b))
                     w, h = d["width"], d["height"]
+                    c = int(d.get("channels", 1) or 1)
                     px = np.frombuffer(d["payload"], dtype=np.uint8)[
-                        : w * h
-                    ].reshape(h, w)
+                        : w * h * c
+                    ]
+                    if c > 1:
+                        # interleaved multi-channel -> integer channel
+                        # sum (monotonic in the mean, no float luma)
+                        px = (
+                            px.reshape(h, w, c).astype(np.int32).sum(axis=2)
+                        )
+                    else:
+                        px = px.reshape(h, w)
                     xi = (np.arange(9) * w // 9).clip(0, w - 1)
                     yi = (np.arange(8) * h // 8).clip(0, h - 1)
-                    small = px[np.ix_(yi, xi)].astype(np.int16)
+                    small = px[np.ix_(yi, xi)].astype(np.int32)
                     bits = small[:, :-1] > small[:, 1:]
                     val = 0
                     for i, bit in enumerate(bits.flatten()):
@@ -464,6 +473,11 @@ def image_neardup_pairs(
     on small data to relate every media_id directly."""
     if not 1 <= n_bands <= 4:
         raise ValueError("n_bands must be in 1..4 (16-bit bands of 64)")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding recall is only exact for max_hamming <= n_bands-1 "
+            f"(= {n_bands - 1}); raise n_bands or lower max_hamming"
+        )
     h = hashes.where(F.col("dhash").isNotNull())
     if distinct_hashes:
         h = h.groupBy("dhash").agg(F.min("media_id").alias("media_id"))
@@ -531,6 +545,11 @@ def audio_fingerprint(
 
     One Arrow pass, no shuffle; numpy rfft per frame is the kernel
     cost, O(samples log frame) per clip."""
+    if frame // 2 < n_bands + 2:
+        raise ValueError(
+            f"frame={frame} has only {frame // 2} positive-frequency "
+            f"bins — need at least n_bands+2 (= {n_bands + 2})"
+        )
 
     def gen(batches):
         for pdf in batches:
@@ -601,10 +620,18 @@ def audio_match_pairs(
     df-gate, same reasoning); the join then carries only
     discriminative frames, and the offset histogram is a
     map-side-combinable agg."""
-    df_gate = fps.groupBy("fp").agg(F.count("*").alias("__n"))
-    keep = fps.join(
-        F.broadcast(df_gate.where(F.col("__n") <= max_fp_freq)), "fp"
-    ).select("media_id", "frame_ix", "fp")
+    # the SMALL set by construction is the over-frequent one (silence,
+    # constant tones) — broadcast THAT and anti-join; broadcasting the
+    # keep side would ship ~every distinct fp to every executor
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") > max_fp_freq)
+        .select("fp")
+    )
+    keep = fps.join(F.broadcast(hot), "fp", "left_anti").select(
+        "media_id", "frame_ix", "fp"
+    )
     a = keep.select(
         F.col("media_id").alias("media_id_a"),
         F.col("frame_ix").alias("__fa"),

@@ -209,7 +209,7 @@ def robots_refetch_due(
     map-side combinable, no window), left join onto the wanted-host
     list. Host-keyed like every other robots table, so it bucket-joins
     with the politeness path."""
-    us = F.unix_micros(F.col("fetch_ts").cast("timestamp"))
+    us = F.unix_micros(F.col("fetch_ts").try_cast("timestamp"))
     latest = (
         fetch_log.where(us.isNotNull())
         .groupBy("host")
@@ -226,10 +226,14 @@ def robots_refetch_due(
     )
     h = hosts.select(F.col(hosts.columns[0]).alias("host")).distinct()
     age = F.lit(int(as_of_us)) - F.col("last_fetch_us")
+    # a null ok (fetch outcome unknown) is treated as a failure so the
+    # expression stays BOOLEAN — due=NULL would silently drop the host
+    # from a .where("due") consumer forever
+    ok = F.coalesce(F.col("last_ok"), F.lit(False))
     due = (
         F.col("last_fetch_us").isNull()
-        | (F.col("last_ok") & (age > F.lit(int(max_age_us))))
-        | (~F.col("last_ok") & (age > F.lit(int(error_backoff_us))))
+        | (ok & (age > F.lit(int(max_age_us))))
+        | (~ok & (age > F.lit(int(error_backoff_us))))
     )
     return h.join(latest, "host", "left").select(
         "host",

@@ -177,5 +177,7 @@ def discover_seeds(
         )
         .withColumn("depth", F.lit(0))
         .dropDuplicates(["url_sha1"])
-        .select("canon_url", "host", "depth", "url_sha1")
+        # plans/epoch.QUEUE_COLS order — positional unions with an
+        # existing init_state queue must line up column-for-column
+        .select("url_sha1", "canon_url", "host", "depth")
     )

@@ -265,11 +265,12 @@ def track_change_rate_cg(
     late-data caveat, stated rather than hidden.
 
     obs(url, ts_us, digest). Output mode: update. Null-timestamp
-    observations are dropped BEFORE the stateful operator — not just
-    for parity (the batch twin drops them too): one null in a long
-    column makes Arrow hand pandas float64, and microsecond epochs
-    exceed float64's 2^53 integer range, which would silently corrupt
-    every OTHER timestamp in the batch."""
+    observations are dropped BEFORE the stateful operator for parity
+    with the batch twin (which drops null/uncastable timestamps), and
+    because a null makes Arrow hand pandas a float64 column whose NaN
+    would crash int() in the tracker. (Float64 holds current-era
+    microsecond epochs exactly — 2^53 covers to year ~2255 — so
+    precision is not the issue; crash-vs-parity is.)"""
     import math
 
     obs = obs.where(F.col("ts_us").isNotNull() & F.col("url").isNotNull())
