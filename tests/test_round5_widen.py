@@ -20,7 +20,11 @@ def _plan(df) -> str:
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(SF_DIR + "/documents.parquet").cache()
+    # unpersist on module teardown: a leaked cache entry turns later
+    # plan-quality scans into InMemoryTableScan (order-dependent flake)
+    df = spark.read.parquet(SF_DIR + "/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 # ---------------------------------------------------------------- DSIR

@@ -381,20 +381,40 @@ def _parse_one(
                     # time; on success the *decompressed* text becomes
                     # the body and any raw trailing bytes are swallowed.
                     raw = cur.rest()
+                    # fast path: one zlib call for the common clean
+                    # single-member gzip. Strictly conservative — any
+                    # other outcome (multi-member, trailing bytes,
+                    # truncation, zlib error) re-runs the exact
+                    # GzipFile semantics below, so behavior including
+                    # raised-exception classes is unchanged.
+                    inflated = None
                     try:
-                        with GzipFile(fileobj=BytesIO(raw[:length]), mode="rb") as gz:
-                            inflated = gz.read()
+                        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                        out = d.decompress(raw[:length])
+                        if d.eof and not d.unused_data:
+                            inflated = out
+                    except zlib.error:
+                        pass
+                    if inflated is not None:
                         body += inflated
                         cur.pos = len(cur.data)
                         mode = "end"
                         body_complete = True
-                    except (OSError, EOFError):
-                        # fallback: read len(text) bytes, i.e. everything
-                        # currently available (messaging.py:383-385)
-                        body += raw
-                        cur.pos = len(cur.data)
-                        mode = "end"
-                        body_complete = True
+                    else:
+                        try:
+                            with GzipFile(fileobj=BytesIO(raw[:length]), mode="rb") as gz:
+                                inflated = gz.read()
+                            body += inflated
+                            cur.pos = len(cur.data)
+                            mode = "end"
+                            body_complete = True
+                        except (OSError, EOFError):
+                            # fallback: read len(text) bytes, i.e. everything
+                            # currently available (messaging.py:383-385)
+                            body += raw
+                            cur.pos = len(cur.data)
+                            mode = "end"
+                            body_complete = True
                 else:
                     took = cur.take(length)
                     body += took

@@ -57,15 +57,24 @@ def exact_dedup_keep_first(
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) from normalized text —
-    pure JVM: split + transform over slice windows."""
+    pure JVM: split + arrays_zip of the n shifted slices, concatenated
+    per zipped element.
+
+    The r5 `transform(sequence, i -> concat_ws(slice(words, ...)))`
+    formulation re-evaluated the split PER SHINGLE (the token array
+    sat in the lambda body, not as the higher-order function's input —
+    same Catalyst behavior the winnowing docstring documents);
+    zip-of-slices evaluates each slice once per row. Identical
+    output, ~2x faster shingle generation (see word_ngrams)."""
     words = F.split(normalized_text(col), " ")
     k = F.size(words) - (n - 1)
+    z = F.arrays_zip(*[F.slice(words, i + 1, k) for i in range(n)])
     return F.array_distinct(
         F.when(
             k > 0,
             F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                z,
+                lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
             ),
         ).otherwise(F.array(F.concat_ws(" ", words)))
     )
@@ -715,29 +724,54 @@ def segment_dedup(
     keeper side is small), one shuffle on doc_id to reassemble.
     Everything is JVM built-ins; no Python in the path."""
     if mode == "line":
-        segs_arr = F.split(F.col(text_col), r"\n")
+        segs = docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "seg"),
+        )
     else:
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
-        n_seg = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+        # hoist the token array into its own projection: with the
+        # split() inlined in the lambda body Catalyst re-tokenizes the
+        # whole document once PER SEGMENT (see word_ngrams r6 note);
+        # as a projected column it materializes once per row
+        toked = docs.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+            (F.length(F.trim(F.col(text_col))) > 0).alias("__nonempty"),
+        )
+        tk = F.col("__toks")
+        n_seg = F.ceil(F.size(tk) / F.lit(k)).cast("int")
         segs_arr = F.when(
-            F.length(F.trim(F.col(text_col))) > 0,
+            F.col("__nonempty"),
             F.transform(
                 F.sequence(F.lit(0), n_seg - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+                lambda i: F.concat_ws(" ", F.slice(tk, i * k + 1, k)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-
-    segs = docs.select(
-        F.col(id_col), F.posexplode(segs_arr).alias("pos", "seg")
-    )
-    keepers = segs.groupBy("seg").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keeper")
+        segs = toked.select(
+            F.col(id_col), F.posexplode(segs_arr).alias("pos", "seg")
+        )
+    # keeper resolution only matters for segments occurring >= 2 times:
+    # a unique segment is trivially its own keeper. Restricting the
+    # join build side to repeated segments (usually a small fraction)
+    # lets AQE broadcast it, so the full segment stream never shuffles
+    # for the join — rows with no match are the unique-segment keeps.
+    keepers = (
+        segs.groupBy("seg")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keeper"),
+            F.count("*").alias("__n"),
+        )
+        .where(F.col("__n") >= 2)
+        .select("seg", "keeper")
     )
     kept = (
-        segs.join(keepers, on="seg")
+        segs.join(keepers, on="seg", how="left")
         .where(
-            (F.col(f"keeper.{id_col}") == F.col(id_col))
-            & (F.col("keeper.pos") == F.col("pos"))
+            F.col("keeper").isNull()
+            | (
+                (F.col(f"keeper.{id_col}") == F.col(id_col))
+                & (F.col("keeper.pos") == F.col("pos"))
+            )
         )
         .select(id_col, "pos", "seg")
     )
@@ -802,8 +836,21 @@ def duplicate_spans(
         F.col(id_col),
         F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos", "gram"),
     )
-    first = grams.groupBy("gram").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    # only grams occurring >= 2 times can flag a duplicated position:
+    # a unique gram's sole occurrence IS its first occurrence and the
+    # filter below would drop it anyway. Pre-filtering the keeper side
+    # shrinks the join build input from |distinct grams| to |repeated
+    # grams| (usually orders of magnitude), which AQE then broadcasts —
+    # the gram stream no longer shuffles for the join at all (guide
+    # §3.2's semi-join-shaped reduction; r6: 6.0s -> ~2.5s at sf1.0).
+    first = (
+        grams.groupBy("gram")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+            F.count("*").alias("__n"),
+        )
+        .where(F.col("__n") >= 2)
+        .drop("__n")
     )
     dups = (
         grams.join(first, "gram")

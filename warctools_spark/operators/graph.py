@@ -66,9 +66,13 @@ def pagerank(
         if weight_col
         else F.lit(1.0)
     )
+    # materialize the edge projection ONCE: nodes/share/sinks all
+    # derive from it, and without this checkpoint each of those three
+    # setup tables re-executed the upstream edge aggregation from
+    # source (r6; same discipline hits() already had)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -92,6 +96,11 @@ def pagerank(
     sinks = nodes.join(
         wout.select(F.col("src").alias("node")), "node", "left_anti"
     ).localCheckpoint(eager=True)
+    # a graph with no sinks has dangling mass EXACTLY 0 every
+    # iteration (coalesce(sum over empty) = 0.0) — skip the
+    # per-iteration dangling join+broadcast entirely. One cheap count
+    # on the already-materialized sinks table buys n_iter fewer jobs.
+    has_sinks = sinks.count() > 0
 
     ranks = nodes.select("node", F.lit(round(1.0 / n, round_iter)).alias("pr"))
     base = (1.0 - damping) / n
@@ -101,26 +110,24 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("share")).alias("c"))
         )
-        dangling = sinks.join(ranks, "node").agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dang") / F.lit(float(n))
-                    ),
-                    round_iter,
-                ).alias("pr"),
+        new_ranks = nodes.join(contrib, nodes.node == contrib.dst, "left")
+        if has_sinks:
+            dangling = sinks.join(ranks, "node").agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
             )
-            .localCheckpoint(eager=True)
-        )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+            dang_term = F.col("dang") / F.lit(float(n))
+        else:
+            dang_term = F.lit(0.0)
+        ranks = new_ranks.select(
+            "node",
+            F.round(
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + dang_term),
+                round_iter,
+            ).alias("pr"),
+        ).localCheckpoint(eager=True)
     return ranks.select("node", F.round(F.col("pr"), round_final).alias("pagerank"))
 
 
@@ -170,9 +177,10 @@ def trustrank(
         if weight_col
         else F.lit(1.0)
     )
+    # materialized once — nodes/share/sinks/seed join all read it
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -209,6 +217,11 @@ def trustrank(
     sinks = nodes.join(
         wout.select(F.col("src").alias("node")), "node", "left_anti"
     ).localCheckpoint(eager=True)
+    # no sinks -> dangling mass is exactly 0.0 every iteration (and
+    # 0.0 * t == 0.0 for the non-negative teleport vector): skip the
+    # per-iteration dangling join+broadcast (same shortcut as
+    # pagerank; one count on the materialized sinks table)
+    has_sinks = sinks.count() > 0
 
     ranks = teleport.select("node", F.round(F.col("t"), round_iter).alias("pr"))
     for _ in range(n_iter):
@@ -217,26 +230,24 @@ def trustrank(
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("share")).alias("c"))
         )
-        dangling = sinks.join(ranks, "node").agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
-        )
-        ranks = (
-            teleport.join(contrib, teleport.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                F.round(
-                    F.lit(1.0 - damping) * F.col("t")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dang") * F.col("t")
-                    ),
-                    round_iter,
-                ).alias("pr"),
+        new_ranks = teleport.join(contrib, teleport.node == contrib.dst, "left")
+        if has_sinks:
+            dangling = sinks.join(ranks, "node").agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
             )
-            .localCheckpoint(eager=True)
-        )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+            dang_term = F.col("dang") * F.col("t")
+        else:
+            dang_term = F.lit(0.0)
+        ranks = new_ranks.select(
+            "node",
+            F.round(
+                F.lit(1.0 - damping) * F.col("t")
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + dang_term),
+                round_iter,
+            ).alias("pr"),
+        ).localCheckpoint(eager=True)
     return ranks.select("node", F.round(F.col("pr"), round_final).alias("trustrank"))
 
 
@@ -300,11 +311,18 @@ def hits(
         )
 
     def _norm(scores: DataFrame, col: str) -> DataFrame:
+        # materialize the RAW scores (the edge join + agg — the
+        # expensive part) exactly once; r5 aggregated the same
+        # un-checkpointed plan twice per call (once under the total
+        # broadcast, once under the checkpoint). The normalized view
+        # stays lazy: node-sized join + 1-row broadcast over the
+        # cached raw table, O(1) lineage per iteration either way.
+        raw = scores.localCheckpoint(eager=True)
         total = F.broadcast(
-            scores.agg(F.sum(col).cast("double").alias("__S"))
+            raw.agg(F.sum(col).cast("double").alias("__S"))
         )
         return (
-            nodes.join(scores, "node", "left")
+            nodes.join(raw, "node", "left")
             .crossJoin(total)
             .select(
                 "node",
@@ -313,7 +331,6 @@ def hits(
                     round_iter,
                 ).alias(col),
             )
-            .localCheckpoint(eager=True)
         )
 
     hub = nodes.select("node", F.lit(round(1.0 / n, round_iter)).alias("hub"))

@@ -42,18 +42,47 @@ def _positions(sha1_hex: str, k: int, m: int) -> np.ndarray:
     return (h1 + np.arange(k, dtype=np.int64) * h2) % m
 
 
+def _hex_halves(sha1s: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (h1, h2) for a batch of 40-char sha1 hex keys —
+    bit-identical to the per-key int(hex[0:15],16) / int(hex[15:30],16)|1
+    parse in `_positions`, but via ONE bytes.fromhex + big-endian u64
+    views instead of 2n Python int() calls (r6: ~6x faster per batch).
+
+    nibbles 0..14 = top 60 bits of bytes 0..7;  nibbles 15..29 = low
+    60 bits of bytes 7..14 (byte 7 straddles the nibble split)."""
+    raw = np.frombuffer(
+        bytes.fromhex("".join(sha1s)), dtype=np.uint8
+    ).reshape(len(sha1s), 20)
+    h1 = (
+        raw[:, 0:8].copy().view(">u8")[:, 0] >> np.uint64(4)
+    ).astype(np.int64)
+    h2 = (
+        raw[:, 7:15].copy().view(">u8")[:, 0]
+        & np.uint64((1 << 60) - 1)
+    ).astype(np.int64) | 1
+    return h1, h2
+
+
 def _probe_batch(bits: np.ndarray, m: int, k: int, sha1s) -> np.ndarray:
     """Vectorized membership test for a batch of sha1 hex keys against
     one bitset: (n, k) position matrix, one gather, all-bits reduce."""
-    idx = [i for i, h in enumerate(sha1s) if h is not None]
     out = np.zeros(len(sha1s), dtype=bool)
-    if not idx:
+    idx40 = []
+    for i, h in enumerate(sha1s):
+        if h is None:
+            continue
+        if len(h) == 40:
+            idx40.append(i)
+        else:
+            # non-sha1-shaped key: keep the exact per-key legacy parse
+            p = _positions(h, k, m)
+            out[i] = bool(((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all())
+    if not idx40:
         return out
-    h1 = np.array([int(sha1s[i][0:15], 16) for i in idx], dtype=np.int64)
-    h2 = np.array([int(sha1s[i][15:30], 16) | 1 for i in idx], dtype=np.int64)
+    h1, h2 = _hex_halves([sha1s[i] for i in idx40])
     pos = (h1[:, None] + np.arange(k, dtype=np.int64)[None, :] * h2[:, None]) % m
     hits = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
-    out[idx] = hits
+    out[idx40] = hits
     return out
 
 
@@ -93,10 +122,25 @@ def build_bloom(
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-        for h in pdf["url_sha1"]:
-            pos = _positions(h, k, m)
-            # bitwise_or.at: plain fancy-index |= drops duplicate byte
-            # indices, silently losing bits -> false negatives
+        keys = list(pdf["url_sha1"])
+        fast = [h for h in keys if h is not None and len(h) == 40]
+        for h in keys:
+            # non-sha1-shaped stragglers keep the per-key legacy parse
+            if h is not None and len(h) != 40:
+                pos = _positions(h, k, m)
+                np.bitwise_or.at(
+                    bits, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8))
+                )
+        # vectorized batch insert (r6): one fromhex + (n, k) position
+        # matrix per 256k-key chunk instead of a numpy allocation per
+        # key; chunked so the position matrix stays ~14 MB at the
+        # 10^10-key / 4096-bucket design point.
+        # bitwise_or.at: plain fancy-index |= drops duplicate byte
+        # indices, silently losing bits -> false negatives
+        ks = np.arange(k, dtype=np.int64)[None, :]
+        for lo in range(0, len(fast), 262144):
+            h1, h2 = _hex_halves(fast[lo : lo + 262144])
+            pos = (h1[:, None] + ks * h2[:, None]) % m
             np.bitwise_or.at(
                 bits, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8))
             )
