@@ -45,7 +45,10 @@ def test_harvest_scan_reads_only_url_and_html(spark, pages_parquet):
     pages = spark.read.parquet(pages_parquet)
     plan = _plan(harvest_canonicalized(pages))
     assert "struct<url:string,html:binary>" in plan  # not text/lang/warc_ts
-    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+    # r6: flat mapInPandas kernel — still vectorized Arrow transfer,
+    # never row-at-a-time BatchEvalPython
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_no_rowwise_python_udfs_anywhere(spark, pages_parquet):

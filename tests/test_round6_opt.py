@@ -277,6 +277,36 @@ def test_probe_batch_handles_none_and_odd_length_keys():
     assert out[6] == True  # non-40-char key still probes via legacy parse  # noqa: E712
 
 
+# ------------------------------------------------------------ flat harvest
+
+
+def test_flat_harvest_equals_r5_struct_formulation(spark, tmp_path):
+    """The mapInPandas flat-column harvest must emit exactly the rows
+    of the r5 array<struct> pandas_udf + explode formulation."""
+    from warctools_spark.functions.udfs import udf_harvest_canon
+    from warctools_spark.operators.frontier import harvest_canonicalized
+    from warctools_spark.sources.pages import synthesize_pages
+
+    d = str(tmp_path / "pages")
+    synthesize_pages(spark, SF_DIR).write.mode("overwrite").parquet(d)
+    pages = spark.read.parquet(d)
+    got = harvest_canonicalized(pages)
+    exploded = pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(udf_harvest_canon(F.col("url"), F.col("html"))).alias("l"),
+    )
+    ref = exploded.select(
+        "src_url",
+        F.col("l.link").alias("link"),
+        F.col("l.canon_url").alias("canon_url"),
+        F.col("l.url_sha1").alias("url_sha1"),
+        F.col("l.host").alias("host"),
+    )
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    assert got.columns == ref.columns
+    assert got.schema == ref.schema
+
+
 # ------------------------------------------------------------ links fastpath
 
 

@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from warctools_spark.functions.udfs import (
     udf_canonicalize_url,
     udf_extract_links,
-    udf_harvest_canon,
     udf_url_host,
     udf_url_sha1,
 )
@@ -43,23 +42,69 @@ def harvest_links(pages: DataFrame, url_col: str = "url", html_col: str = "html"
     )
 
 
+_HARVEST_SCHEMA = (
+    "src_url string, link string, canon_url string, url_sha1 string, "
+    "host string"
+)
+
+
+def _harvest_flat(it):
+    """mapInPandas kernel behind harvest_canonicalized: decode ->
+    extract -> canonicalize per page, emitting FLAT string columns.
+    Constructing five flat arrays and letting Arrow convert them in
+    one C pass replaces the r5 list<struct> pandas_udf + JVM explode,
+    whose object-Series -> Arrow nested conversion dominated the
+    return path (r6: harvest noop 9.5s -> 7.3s at sf1.0, identical
+    rows). canon_parts is lru_cached module-wide, so repeated link
+    targets amortize across batches in a reused worker."""
+    from warctools_spark.kernels.canon import canon_parts
+    from warctools_spark.kernels.http_decode import decode_http
+    from warctools_spark.kernels.links import extract_links
+
+    import pandas as pd
+
+    for pdf in it:
+        src_l: list = []
+        link_l: list = []
+        canon_l: list = []
+        sha_l: list = []
+        host_l: list = []
+        for u, payload in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+            if payload is None:
+                continue
+            res = decode_http(bytes(payload), kind="response")
+            mime = res.mime or b""
+            if not (200 <= res.code < 300 and mime.find(b"html") > -1):
+                continue
+            for link in extract_links(u or "", res.decoded_body()):
+                canon, sha1, host = canon_parts(link)
+                src_l.append(u)
+                link_l.append(link)
+                canon_l.append(canon)
+                sha_l.append(sha1)
+                host_l.append(host)
+        yield pd.DataFrame(
+            {
+                "src_url": src_l,
+                "link": link_l,
+                "canon_url": canon_l,
+                "url_sha1": sha_l,
+                "host": host_l,
+            }
+        )
+
+
 def harvest_canonicalized(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
-    """Fused harvest+canonicalize: one Arrow UDF pass producing
+    """Fused harvest+canonicalize: one Arrow pass producing
     (src_url, link, canon_url, url_sha1, host) — the hot-path variant
     of harvest_links |> canonicalized (identical rows, 1 Python pass
-    instead of 4)."""
-    exploded = pages.select(
-        F.col(url_col).alias("src_url"),
-        F.explode(udf_harvest_canon(F.col(url_col), F.col(html_col))).alias("l"),
-    )
-    return exploded.select(
-        "src_url",
-        F.col("l.link").alias("link"),
-        F.col("l.canon_url").alias("canon_url"),
-        F.col("l.url_sha1").alias("url_sha1"),
-        F.col("l.host").alias("host"),
+    instead of 4). The explicit two-column select before mapInPandas
+    is load-bearing: opaque functions defeat column pruning, so
+    without it the scan would read every page column (guide §4.1)."""
+    return pages.select(F.col(url_col), F.col(html_col)).mapInPandas(
+        _harvest_flat, _HARVEST_SCHEMA
     )
 
 

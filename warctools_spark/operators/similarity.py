@@ -276,13 +276,21 @@ def _lloyd(
 ) -> tuple[DataFrame, dict]:
     """Shared Lloyd loop behind kmeans_assign and ivf_kmeans_topk:
     returns (assigned(id, __v, cluster, __d2), final centroids)."""
-    from warctools_spark.operators.dedup import _require_dims, _resolve_dims
+    from warctools_spark.operators.dedup import _require_dims
 
-    dims = _resolve_dims(emb, vec_col, None)
-    keyed = _require_dims(emb, vec_col, dims).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    # dims derives from the init collect (which Lloyd needs anyway)
+    # instead of a dedicated min/max-size aggregate over the whole
+    # table — one full input pass fewer per call (r6). Ragged vectors
+    # beyond the sampled init rows still FAIL the job via the
+    # executor-side _require_dims guard on every later pass.
+    init_rows = (
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
     )
-    init_rows = keyed.orderBy(id_col).limit(k).collect()
     if not init_rows:
         raise ValueError(
             "cannot initialize k-means: input has no vectors"
@@ -292,6 +300,15 @@ def _lloyd(
             "null embedding among the k lowest-id init vectors; drop "
             "null vectors before clustering"
         )
+    dims = len(init_rows[0]["__v"])
+    if any(len(r["__v"]) != dims for r in init_rows):
+        raise ValueError(
+            f"ragged embedding column {vec_col!r} among the k lowest-id "
+            "init vectors; filter to one dimensionality first"
+        )
+    keyed = _require_dims(emb, vec_col, dims).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
     centroids = {i: list(r["__v"]) for i, r in enumerate(init_rows)}
     if assign_mode == "auto":
         assign_mode = "pandas" if k * dims >= 1024 else "expr"
