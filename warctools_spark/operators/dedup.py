@@ -836,15 +836,25 @@ def duplicate_spans(
         F.col(id_col),
         F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos", "gram"),
     )
-    # only grams occurring >= 2 times can flag a duplicated position:
-    # a unique gram's sole occurrence IS its first occurrence and the
-    # filter below would drop it anyway. Pre-filtering the keeper side
-    # shrinks the join build input from |distinct grams| to |repeated
-    # grams| (usually orders of magnitude), which AQE then broadcasts —
-    # the gram stream no longer shuffles for the join at all (guide
-    # §3.2's semi-join-shaped reduction; r6: 6.0s -> ~2.5s at sf1.0).
+    # r6 shape, two changes over r5:
+    # (1) ONE gram-stream materialization: the explicit repartition by
+    #     gram is consumed by BOTH the keeper aggregation (clustering
+    #     already satisfied -> no second exchange) and the join probe
+    #     (runtime exchange reuse) — r5 re-executed the corpus explode
+    #     for each. No partition count is given, so AQE sizes it.
+    # (2) keeper table filtered to grams occurring >= 2 times: a
+    #     unique gram's sole occurrence IS its first occurrence and
+    #     the post-join filter dropped it anyway; the join build side
+    #     falls from |distinct grams| to |repeated grams| and AQE
+    #     broadcasts it when it fits (guide §3.2). 6.0 -> ~2.3s sf1.0.
+    # Skew note: the gram-keyed exchange concentrates a corpus-wide
+    # hot gram's occurrences in one task for the (linear) probe filter
+    # as well as the agg that always had it; the island windows after
+    # re-spread by doc. The pathological single-gram-dominates regime
+    # is the run-exact_dedup-first regime, as with the LSH caps.
+    g2 = grams.repartition("gram")
     first = (
-        grams.groupBy("gram")
+        g2.groupBy("gram")
         .agg(
             F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
             F.count("*").alias("__n"),
@@ -853,7 +863,7 @@ def duplicate_spans(
         .drop("__n")
     )
     dups = (
-        grams.join(first, "gram")
+        g2.join(first, "gram")
         .where(
             (F.col("first")[id_col] != F.col(id_col))
             | (F.col("first")["pos"] != F.col("pos"))
