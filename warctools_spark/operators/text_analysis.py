@@ -665,8 +665,16 @@ def inverted_index_segmented(
     on term (vocab-sized build side, AQE broadcasts), then the
     (term, segment) posting agg whose per-group size is bounded by
     ~segment_size regardless of term frequency."""
+    # md5-derived doc hash (engine-portable, same family as the
+    # minhash oracles) so segmentation is replayable in SQL; computed
+    # BELOW the explode — once per document, not once per posting
+    # (r6: the per-posting md5+conv alone cost ~1s at sf1.0)
+    doc_hash = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
     toks = docs.select(
         F.col(id_col),
+        doc_hash.alias("__dh"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
     ).where(F.col("term") != "")
     counts = toks.groupBy("term").agg(
@@ -676,14 +684,9 @@ def inverted_index_segmented(
     n_segments = F.ceil(
         F.col("n_term_postings") / F.lit(segment_size)
     ).cast("int")
-    # md5-derived doc hash (engine-portable, same family as the
-    # minhash oracles) so segmentation is replayable in SQL
-    doc_hash = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
     seg = toks.join(counts.where(F.col("df") >= min_df), "term").withColumn(
         "segment",
-        F.pmod(doc_hash, F.greatest(n_segments, F.lit(1))).cast("int"),
+        F.pmod(F.col("__dh"), F.greatest(n_segments, F.lit(1))).cast("int"),
     )
     return (
         seg.groupBy("term", "segment")
