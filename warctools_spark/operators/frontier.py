@@ -459,7 +459,11 @@ def change_rate(
     # null/uncastable timestamps carry no interval information and
     # would sort arbitrarily into the lag window — dropped on the CAST
     # result (a string ts_col full of junk filters here too), and the
-    # streaming twin (track_change_rate_cg) drops nulls identically
+    # streaming twin (track_change_rate_cg) drops nulls identically.
+    # NB (r5 ADVICE): null URLS are kept here (the window/groupBy key
+    # admits a null group) but the streaming twin must drop them
+    # before the stateful operator — row-for-row parity claims are
+    # over non-null urls only.
     obs = obs.where(us.isNotNull())
     w = Window.partitionBy(url_col).orderBy(us, F.col(digest_col))
     seq = obs.select(

@@ -579,7 +579,11 @@ def audio_fingerprint(
                     for i in range(n_frames):
                         seg = x[i * hop : i * hop + frame]
                         mag = np.abs(np.fft.rfft(seg))
-                        e = np.add.reduceat(mag, edges[:-1])[: n_bands]
+                        # slice to the documented upper edge: reduceat's
+                        # final segment otherwise runs to Nyquist, so the
+                        # top band would absorb every bin above edges[-1]
+                        # (r5 ADVICE fix)
+                        e = np.add.reduceat(mag[: edges[-1]], edges[:-1])[: n_bands]
                         diff = e[:-1] - e[1:]
                         if prev is not None:
                             bits = (diff - prev) > 0

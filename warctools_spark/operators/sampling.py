@@ -404,8 +404,14 @@ def temperature_rates(
     stratum-sized table (round-9, ORACLES.md #5)."""
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
-    counts = docs.groupBy(stratum_col).agg(
-        F.count("*").cast("long").alias("n_corpus")
+    # null-stratum rows are excluded from the normalization: they can
+    # never equi-join back to a rate in temperature_mix, so counting
+    # them would waste their q mass and systematically undershoot
+    # n_target (r5 ADVICE fix)
+    counts = (
+        docs.where(F.col(stratum_col).isNotNull())
+        .groupBy(stratum_col)
+        .agg(F.count("*").cast("long").alias("n_corpus"))
     )
     tot = F.broadcast(
         counts.agg(

@@ -105,11 +105,19 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality_score", F.round(score, 4))
 
 
-def fingerprint(col: Column, k: int = 8) -> Column:
+def fingerprint(col: Column, k: int = 8, prenormalized: bool = False) -> Column:
     """Rolling-window document fingerprint: min-md5 over character
     k-gram windows (winnowing-style selection of 1 hash), plus the
-    full-content md5 — both engine-agnostic."""
-    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    full-content md5 — both engine-agnostic.
+
+    prenormalized=True expects `col` to already be the normalized
+    text — pass an ATTRIBUTE (a projected column), not the normalize
+    expression itself: inlined in the per-position lambda the
+    whole-document regexp would re-run once per character gram
+    (quadratic in doc length; see the word_ngrams r6 note)."""
+    norm = col if prenormalized else F.trim(
+        F.regexp_replace(F.lower(col), r"\s+", " ")
+    )
     n = F.length(norm) - (k - 1)
     grams = F.when(
         n > 0,
@@ -119,10 +127,19 @@ def fingerprint(col: Column, k: int = 8) -> Column:
 
 
 def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return docs.select(
+    # hoist the normalized text into a projected column: inlined in
+    # fingerprint()'s per-position lambda the whole-document regexp
+    # normalize would re-run once PER CHARACTER GRAM (the §word_ngrams
+    # r6 lesson, quadratic in doc length here)
+    normed = docs.select(
+        F.col(id_col), normalize(F.col(text_col)).alias("__norm")
+    )
+    return normed.select(
         F.col(id_col),
-        F.md5(normalize(F.col(text_col))).alias("content_md5"),
-        fingerprint(F.col(text_col)).alias("min_kgram_md5"),
+        F.md5(F.col("__norm")).alias("content_md5"),
+        fingerprint(F.col("__norm"), prenormalized=True).alias(
+            "min_kgram_md5"
+        ),
     )
 
 
@@ -552,8 +569,16 @@ def chunk_documents(
     token gaps between interior chunks (property-tested both ways)."""
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
-    toks = tokens(F.col(text_col))
-    n = token_count(F.col(text_col))
+    # hoist the token array and count into projected columns: inlined
+    # in the per-chunk lambda the split()/token_count would re-run
+    # once per chunk (word_ngrams r6 note)
+    toked = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+        token_count(F.col(text_col)).alias("__n"),
+    )
+    toks = F.col("__toks")
+    n = F.col("__n")
     # cap at n-1: with stride > window the ceil can land past the
     # last token, which would emit an empty tail chunk
     last_start = F.least(
@@ -573,7 +598,7 @@ def chunk_documents(
             F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk"),
         ),
     )
-    return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+    return toked.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col,
         F.col("c.chunk_id").alias("chunk_id"),
         F.col("c.tok_start").alias("tok_start"),

@@ -258,7 +258,15 @@ def track_change_rate_cg(
     last_us, last_digest) across micro-batches and each update emits
     exactly the batch operator's output row — the two are EQUAL when
     every url's observations arrive in timestamp order across batches
-    (pinned by test). Within a micro-batch rows are processed in
+    (pinned by test). rate_per_hour replicates Spark's ROUND semantics
+    (shortest-repr decimal, HALF_UP — r5 ADVICE: Python's bare round()
+    is HALF_EVEN and could diverge at decimal ties); the remaining
+    theoretical gap is a possible 1-ULP difference between C libm and
+    JVM Math.log, which round-6 absorbs except at astronomically
+    unlucky boundaries — EQUAL is exact up to that caveat. The batch
+    twin also keeps a null-url group row (its window key admits null)
+    while the stream must drop null urls pre-state; parity statements
+    are over non-null urls. Within a micro-batch rows are processed in
     (ts_us, digest) order, matching the batch window's sort; an
     observation arriving with ts earlier than the stored last_us is
     still folded in arrival order — the standard streaming
@@ -272,6 +280,7 @@ def track_change_rate_cg(
     microsecond epochs exactly — 2^53 covers to year ~2255 — so
     precision is not the issue; crash-vs-parity is.)"""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     obs = obs.where(F.col("ts_us").isNotNull() & F.col("url").isNotNull())
 
@@ -303,7 +312,15 @@ def track_change_rate_cg(
                 * float(n_iv)
                 / float(gap)
             )
-            rate = round(lam * 3.6e9, 6)
+            # Spark F.round parity: BigDecimal.valueOf(double) parses
+            # the shortest round-trip repr and rounds HALF_UP; bare
+            # round() is HALF_EVEN and diverges at round-6 decimal
+            # ties (r5 ADVICE fix)
+            rate = float(
+                Decimal(repr(lam * 3.6e9)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
         else:
             lam, rate = 0.0, 0.0
         if n_ch > 0 and gap > 0:
