@@ -307,6 +307,43 @@ def test_flat_harvest_equals_r5_struct_formulation(spark, tmp_path):
     assert got.schema == ref.schema
 
 
+# ------------------------------------------------------------- canon fastpath
+
+
+def test_canon_parts_fast_equals_canon_parts():
+    """The already-canonical fast path must return byte-identical
+    (canon, sha1, host) for every URL shape — adversarial grid +
+    random fuzz vs the exact urlparse-based implementation."""
+    import random
+
+    from warctools_spark.kernels.canon import canon_parts, canon_parts_fast
+
+    rng = random.Random(5)
+    hosts = ["example.com", "EXAMPLE.com", "a.b.c", "h0st-x.io",
+             "ex.com:80", "ex.com:8080", "user@ex.com", "[::1]",
+             "ex..com", "-"]
+    paths = ["", "/", "/a/b.html", "/a//b", "/./x", "/../x", "/a/../b",
+             "/a/.", "/a/b/", "/a;p", "/.well-known/x", "/a%20b",
+             "/Ab", "/a b", "/a\tb", "/doc/5.html"]
+    tails = ["", "?q=1", "?", "?a=1&b=2", "#frag", "?q=1#f", " ",
+             "?q 1", "\n"]
+    schemes = ["http://", "https://", "HTTP://", "ftp://", "",
+               "http:/", "http//"]
+    cases = [s + h + p + t for s in schemes for h in hosts
+             for p in paths for t in tails]
+    cases += ["http://ex.com", " http://x.com/", "http://ex.com/?",
+              "http://ex.com/#", ""]
+    alpha = "abcXYZ019.-/?#;%& \t:"
+    for _ in range(20000):
+        cases.append(
+            "http://" + "".join(
+                rng.choice(alpha) for _ in range(rng.randint(0, 25))
+            )
+        )
+    for u in cases:
+        assert canon_parts(u) == canon_parts_fast(u), repr(u)
+
+
 # ------------------------------------------------------------ links fastpath
 
 

@@ -19,7 +19,7 @@ from pyspark.sql.functions import pandas_udf
 
 
 from warctools_spark.kernels.canon import (
-    canon_parts,
+    canon_parts_fast as canon_parts,
     canonicalize_url,
     url_host,
     url_sha1,

@@ -108,3 +108,43 @@ def url_host(url: str) -> str:
         return (urlparse(url).hostname or "").lower()
     except ValueError:
         return ""
+
+
+# Fast path for URLs that are ALREADY in canonical form — the common
+# case for well-formed absolute links. The regex + two substring
+# guards establish exactly the conditions under which
+# canonicalize_url(url) == url:
+#   * lowercase http/https scheme; netloc of [a-z0-9.-] only (so
+#     hostname == netloc, no port/userinfo/case to normalize);
+#   * a present path with no ';' (urlparse would split params), no
+#     '//' and no '/.' substring (sufficient to exclude every
+#     '.'/'..' segment and double slash that posixpath.normpath in
+#     squash_path would rewrite — '/.foo' style segments are fine but
+#     conservatively fall back);
+#   * no fragment; a '?' only with a non-empty query (urlunparse
+#     drops a bare '?').
+# Anything else falls back to the exact (lru-cached) canon_parts.
+# Equality with canon_parts on accepted URLs is pinned by
+# tests/test_round6_opt.py.
+import re as _re
+
+_FAST_CANON_RX = _re.compile(
+    r"\Ahttps?://[a-z0-9.-]+(/[^?#;\s]*)(\?[^#\s]+)?\Z"
+)
+
+
+def canon_parts_fast(url: str) -> tuple[str, str, str]:
+    """(canon_url, url_sha1, host) — identical values to canon_parts,
+    with a no-allocation fast path for already-canonical URLs."""
+    m = _FAST_CANON_RX.match(url)
+    if m is not None:
+        path = m.group(1)
+        if "//" not in path and "/." not in path:
+            i = url.index("/") + 2  # first '/' is the one after ':'
+            host = url[i : url.index("/", i)]
+            return (
+                url,
+                hashlib.sha1(url.encode("utf-8")).hexdigest(),
+                host,
+            )
+    return canon_parts(url)

@@ -57,7 +57,7 @@ def _harvest_flat(it):
     return path (r6: harvest noop 9.5s -> 7.3s at sf1.0, identical
     rows). canon_parts is lru_cached module-wide, so repeated link
     targets amortize across batches in a reused worker."""
-    from warctools_spark.kernels.canon import canon_parts
+    from warctools_spark.kernels.canon import canon_parts_fast as canon_parts
     from warctools_spark.kernels.http_decode import decode_http
     from warctools_spark.kernels.links import extract_links
 
