@@ -20,9 +20,9 @@ from pyspark.sql.functions import pandas_udf
 
 from warctools_spark.kernels.canon import (
     canon_parts_fast as canon_parts,
-    canonicalize_url,
-    url_host,
-    url_sha1,
+    canonicalize_url_fast as canonicalize_url,
+    url_host_fast as url_host,
+    url_sha1_fast as url_sha1,
 )
 
 
