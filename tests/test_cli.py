@@ -72,6 +72,22 @@ def test_warcvalid_cli(warc_file, tmp_path):
     assert run_cli("warcvalid", str(bad)).returncode != 0
 
 
+def test_warcvalid_cli_streams_systematic_errors(tmp_path):
+    # r6: warcvalid streams error rows via toLocalIterator instead of
+    # collect() — a systematically-broken corpus (every file bad, many
+    # partitions) must still report every error row and exit nonzero
+    # without materializing the whole error table on the driver.
+    for i in range(40):
+        (tmp_path / ("bad_%02d.warc" % i)).write_bytes(b"not a warc %d\n" % i)
+    r = run_cli("warcvalid", str(tmp_path / "bad_*.warc"))
+    assert r.returncode != 0
+    err_lines = [
+        ln for ln in r.stderr.decode().splitlines() if ln.startswith("warc errors at ")
+    ]
+    assert len(err_lines) == 40  # one error row per broken file, all streamed
+    assert all("bad_" in ln for ln in err_lines)
+
+
 def test_warclinks_cli(warc_file):
     r = run_cli("warclinks", warc_file)
     assert r.returncode == 0

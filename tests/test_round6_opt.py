@@ -277,6 +277,47 @@ def test_probe_batch_handles_none_and_odd_length_keys():
     assert out[6] == True  # non-40-char key still probes via legacy parse  # noqa: E712
 
 
+def test_cuckoo_insert_batch_table_byte_identical():
+    """r6: build_cuckoo/insert_into_cuckoo insert via insert_batch (one
+    vectorized (fp, i1) parse). Table bytes must equal the per-key
+    insert() fold for every regime: normal load, overflow (so kick
+    chains and failure counts match), and the non-hex fallback."""
+    import hashlib
+
+    from warctools_spark.operators.cuckoo import CuckooFilter, _fp_i1_batch, _fp_index
+
+    keys = sorted(hashlib.sha1(b"k%d" % i).hexdigest() for i in range(5000))
+    # parse equality vs the per-key path
+    fps, i1s = _fp_i1_batch(keys, 1 << 10)
+    for i in (0, 1, 23, 4999):
+        fp, i1 = _fp_index(keys[i], 1 << 10)
+        assert (int(fps[i]), int(i1s[i])) == (fp, i1)
+
+    # normal-load build (sized for the keys)
+    a = CuckooFilter.sized_for(len(keys))
+    b = CuckooFilter.sized_for(len(keys))
+    failed_a = sum(0 if a.insert(h) else 1 for h in keys)
+    failed_b = b.insert_batch(keys)
+    assert failed_a == failed_b == 0
+    assert a.to_bytes() == b.to_bytes()
+
+    # over-full table: kicks + overflow counts must also match exactly
+    c = CuckooFilter(64)
+    d = CuckooFilter(64)
+    failed_c = sum(0 if c.insert(h) else 1 for h in keys[:400])
+    failed_d = d.insert_batch(keys[:400])
+    assert failed_c == failed_d > 0
+    assert c.to_bytes() == d.to_bytes()
+
+    # a non-40-char key routes the batch through the exact legacy path
+    odd = keys[:10] + ["abcdef0123456789abcdef0123456789"]  # 32 chars
+    e = CuckooFilter(256)
+    f = CuckooFilter(256)
+    failed_e = sum(0 if e.insert(h) else 1 for h in odd)
+    assert f.insert_batch(odd) == failed_e
+    assert e.to_bytes() == f.to_bytes()
+
+
 # ------------------------------------------------------------ flat harvest
 
 

@@ -139,13 +139,20 @@ def cmd_warcvalid(args):
     from warctools_spark.operators.archive_ops import warc_valid
 
     spark = _spark(args.cpus)
-    bad = warc_valid(_records(spark, args.inputs)).collect()
-    for r in bad:
+    # stream error rows one partition at a time instead of collecting
+    # them all: on an archive with systematic errors the error table is
+    # input-sized, and a driver-side collect() would OOM long before the
+    # scan finishes. toLocalIterator keeps driver memory bounded by one
+    # partition; row order (partition order) and the exit code are
+    # unchanged.
+    any_bad = False
+    for r in warc_valid(_records(spark, args.inputs)).toLocalIterator():
+        any_bad = True
         print(
             "warc errors at %s:%s %s" % (r["source_file"], r["offset"], r["errors"]),
             file=sys.stderr,
         )
-    return 0 if not bad else -1
+    return 0 if not any_bad else -1
 
 
 def cmd_warcdump(args):

@@ -44,6 +44,27 @@ def _alt_index(i: int, fp: int, nb: int) -> int:
     return (i ^ (fp * 0x5BD1E995)) & (nb - 1)
 
 
+def _fp_i1_batch(sha1s: list[str], nb: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (fp, i1) parse for a batch of 40-char sha1 hex keys —
+    bit-identical to the per-key `_fp_index` (r6, the seen._hex_halves
+    lesson: ONE bytes.fromhex + array views instead of 2n Python int()
+    calls). Callers must pre-check every key is a 40-char string; a
+    non-hex character still raises ValueError from fromhex.
+
+    fp  = nibbles 30..33  = bytes 15,16 (big-endian u16)
+    i1  = nibbles 0..14   = top 60 bits of bytes 0..7"""
+    raw = np.frombuffer(
+        bytes.fromhex("".join(sha1s)), dtype=np.uint8
+    ).reshape(len(sha1s), 20)
+    fp = (
+        ((raw[:, 15].astype(np.int64) << 8) | raw[:, 16]) % 0xFFFF
+    ) + 1
+    i1 = (
+        raw[:, 0:8].copy().view(">u8")[:, 0] >> np.uint64(4)
+    ).astype(np.int64) & (nb - 1)
+    return fp, i1
+
+
 class CuckooFilter:
     """Single-partition filter; built per host-hash bucket inside
     applyInPandas, probed from a broadcast."""
@@ -66,26 +87,63 @@ class CuckooFilter:
 
     def insert(self, sha1_hex: str) -> bool:
         fp, i1 = _fp_index(sha1_hex, self.nb)
+        return self._insert_fp(fp, i1)
+
+    def _insert_fp(self, fp: int, i1: int) -> bool:
+        """The insert walk over an already-parsed (fp, i1) pair — split
+        out of insert() so batch builders can parse keys vectorized
+        (r6); the walk itself is intrinsically sequential (each kick
+        depends on the table state the previous one left)."""
+        table = self.table
         i2 = _alt_index(i1, fp, self.nb)
         for i in (i1, i2):
-            row = self.table[i]
-            empty = np.where(row == 0)[0]
-            if len(empty):
-                row[empty[0]] = fp
-                return True
+            row = table[i]
+            # first empty slot (plain loop: SLOTS=4, cheaper than the
+            # two arrays np.where allocates per probe)
+            for s in range(SLOTS):
+                if not row[s]:
+                    row[s] = fp
+                    return True
         # evict: deterministic victim rotation keyed by fp + kick count
         i = i1 if fp % 2 else i2
         cur = np.uint16(fp)
         for kick in range(MAX_KICKS):
             slot = (fp + kick) % SLOTS
-            cur, self.table[i][slot] = self.table[i][slot], cur
+            cur, table[i][slot] = table[i][slot], cur
             i = _alt_index(i, int(cur), self.nb)
-            row = self.table[i]
-            empty = np.where(row == 0)[0]
-            if len(empty):
-                row[empty[0]] = cur
-                return True
+            row = table[i]
+            for s in range(SLOTS):
+                if not row[s]:
+                    row[s] = cur
+                    return True
         return False  # table over-full; caller should resize
+
+    def insert_batch(self, sha1s) -> int:
+        """Insert keys IN THE GIVEN ORDER (callers pass sorted keys for
+        deterministic kick chains); returns the number of failed
+        (overflowed) inserts. One vectorized (fp, i1) parse for the
+        whole batch; any key that is not a plain 40-char hex string
+        routes the entire batch through the exact per-key insert() so
+        table bytes stay identical in every case."""
+        sha1s = list(sha1s)
+        if not sha1s:
+            return 0
+        if all(isinstance(h, str) and len(h) == 40 for h in sha1s):
+            try:
+                fps, i1s = _fp_i1_batch(sha1s, self.nb)
+            except ValueError:  # non-hex character
+                pass
+            else:
+                ins = self._insert_fp
+                failed = 0
+                # .tolist(): one C pass to plain ints — per-element
+                # np-scalar __int__ calls would cost more than the
+                # vectorized parse saves
+                for fp, i1 in zip(fps.tolist(), i1s.tolist()):
+                    if not ins(fp, i1):
+                        failed += 1
+                return failed
+        return sum(0 if self.insert(h) else 1 for h in sha1s)
 
     def contains(self, sha1_hex: str) -> bool:
         fp, i1 = _fp_index(sha1_hex, self.nb)
@@ -146,10 +204,8 @@ def build_cuckoo(
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         flt = CuckooFilter.sized_for(max(len(pdf), per_bucket), load)
-        overflowed = 0
-        for h in sorted(pdf["url_sha1"]):  # sorted: deterministic kicks
-            if not flt.insert(h):
-                overflowed += 1
+        # sorted: deterministic kicks; batch: one vectorized key parse
+        overflowed = flt.insert_batch(sorted(pdf["url_sha1"]))
         bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else -1
         return pd.DataFrame(
             {
@@ -353,10 +409,7 @@ def insert_into_cuckoo(
             # dropped — a later probe of a dropped key would answer a
             # definitive negative and leak a duplicate past tier 2
             flt = CuckooFilter.sized_for(len(adds))
-            overflowed = 0
-            for h in sorted(adds["url_sha1"]):
-                if not flt.insert(h):
-                    overflowed += 1
+            overflowed = flt.insert_batch(sorted(adds["url_sha1"]))
             return pd.DataFrame(
                 {
                     "bucket": [int(adds["bucket"].iloc[0])],
@@ -368,10 +421,9 @@ def insert_into_cuckoo(
             )
         row = filters.iloc[0]
         flt = CuckooFilter.from_bytes(bytes(row["bits"]), int(row["nb"]))
-        overflowed = int(row["overflowed"])
-        for h in sorted(adds["url_sha1"]):
-            if not flt.insert(h):
-                overflowed += 1
+        overflowed = int(row["overflowed"]) + flt.insert_batch(
+            sorted(adds["url_sha1"])
+        )
         out = filters.copy()
         out.loc[out.index[0], "bits"] = flt.to_bytes()
         out.loc[out.index[0], "overflowed"] = overflowed
