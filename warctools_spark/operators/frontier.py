@@ -319,7 +319,11 @@ def link_rank(
                     + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False (r6): plan still truncates to a LogicalRDD
+            # per round (flat depth); materialization cascades at the
+            # first consumer instead of blocking the driver each
+            # iteration (see graph.pagerank)
+            .localCheckpoint(eager=False)
         )
     return ranks
 

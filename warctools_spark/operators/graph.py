@@ -127,7 +127,14 @@ def pagerank(
                 * (F.coalesce(F.col("c"), F.lit(0.0)) + dang_term),
                 round_iter,
             ).alias("pr"),
-        ).localCheckpoint(eager=True)
+            # eager=False (r6): the checkpoint truncates the PLAN to a
+            # LogicalRDD immediately either way — lineage stays O(1)
+            # per iteration — but deferring materialization turns
+            # n_iter blocking driver jobs into one cascaded action at
+            # the first consumer (each iteration's RDD is still
+            # computed exactly once and cached; the double reference
+            # under has_sinks reads the cache, not the plan)
+        ).localCheckpoint(eager=False)
     return ranks.select("node", F.round(F.col("pr"), round_final).alias("pagerank"))
 
 
@@ -247,7 +254,9 @@ def trustrank(
                 * (F.coalesce(F.col("c"), F.lit(0.0)) + dang_term),
                 round_iter,
             ).alias("pr"),
-        ).localCheckpoint(eager=True)
+            # eager=False: see pagerank — same O(1) lineage, n_iter
+            # fewer blocking driver jobs (r6)
+        ).localCheckpoint(eager=False)
     return ranks.select("node", F.round(F.col("pr"), round_final).alias("trustrank"))
 
 
@@ -311,13 +320,15 @@ def hits(
         )
 
     def _norm(scores: DataFrame, col: str) -> DataFrame:
-        # materialize the RAW scores (the edge join + agg — the
-        # expensive part) exactly once; r5 aggregated the same
-        # un-checkpointed plan twice per call (once under the total
-        # broadcast, once under the checkpoint). The normalized view
-        # stays lazy: node-sized join + 1-row broadcast over the
-        # cached raw table, O(1) lineage per iteration either way.
-        raw = scores.localCheckpoint(eager=True)
+        # checkpoint the RAW scores (the edge join + agg — the
+        # expensive part) so they compute exactly once; r5 aggregated
+        # the same un-checkpointed plan twice per call (once under the
+        # total broadcast, once under the checkpoint). eager=False
+        # (r6): the plan is truncated to a LogicalRDD immediately —
+        # both consumers (normalizer agg + join) share the cached RDD
+        # — but materialization defers to the first action, removing
+        # 2*n_iter blocking driver jobs per call.
+        raw = scores.localCheckpoint(eager=False)
         total = F.broadcast(
             raw.agg(F.sum(col).cast("double").alias("__S"))
         )
