@@ -72,12 +72,12 @@ def pagerank(
     # source (r6; same discipline hits() already had)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -90,12 +90,12 @@ def pagerank(
         .agg(F.sum("w").alias("w"))
         .join(wout, "src")
         .select("src", "dst", (F.col("w") / F.col("wout")).alias("share"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # nodes with no out-edges contribute their mass uniformly
     sinks = nodes.join(
         wout.select(F.col("src").alias("node")), "node", "left_anti"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # a graph with no sinks has dangling mass EXACTLY 0 every
     # iteration (coalesce(sum over empty) = 0.0) — skip the
     # per-iteration dangling join+broadcast entirely. One cheap count
@@ -187,12 +187,12 @@ def trustrank(
     # materialized once — nodes/share/sinks/seed join all read it
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if isinstance(seeds, DataFrame):
         seed_df = seeds.select(F.col(seeds.columns[0]).alias("node"))
@@ -202,7 +202,7 @@ def trustrank(
         )
     seed_nodes = nodes.join(
         seed_df.distinct(), "node", "left_semi"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     ns = seed_nodes.count()
     if ns == 0:
         raise ValueError("no seed appears in the edge table")
@@ -211,7 +211,7 @@ def trustrank(
             seed_nodes.select("node", F.lit(1.0 / ns).alias("t")), "node", "left"
         )
         .select("node", F.coalesce(F.col("t"), F.lit(0.0)).alias("t"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     wout = e.groupBy("src").agg(F.sum("w").alias("wout"))
     share = (
@@ -219,11 +219,11 @@ def trustrank(
         .agg(F.sum("w").alias("w"))
         .join(wout, "src")
         .select("src", "dst", (F.col("w") / F.col("wout")).alias("share"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sinks = nodes.join(
         wout.select(F.col("src").alias("node")), "node", "left_anti"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # no sinks -> dangling mass is exactly 0.0 every iteration (and
     # 0.0 * t == 0.0 for the non-negative teleport vector): skip the
     # per-iteration dangling join+broadcast (same shortcut as
@@ -305,13 +305,13 @@ def hits(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
